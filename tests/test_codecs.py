@@ -1,0 +1,167 @@
+"""Per-codec unit tests: encode→decode == input, numpy-exact, plus seeded
+randomized property-style cases (SURVEY.md §5 'adopted for our engine')."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tokcodec.codecs import (
+    bitpack,
+    decode_bytes,
+    decode_float,
+    decode_int,
+    encode_bytes_auto,
+    encode_float_auto,
+    encode_int_auto,
+    encoded_size,
+)
+from tokcodec.codecs.fsst import decode_fsst, try_fsst
+from tokcodec.codecs.intcodecs import encode_int
+
+
+@pytest.mark.parametrize("bits", [0, 1, 2, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64])
+def test_bitpack_roundtrip(bits):
+    rng = np.random.default_rng(bits)
+    n = 4097
+    hi = (1 << bits) if bits < 64 else (1 << 63)
+    v = rng.integers(0, max(hi, 1), size=n, dtype=np.uint64)
+    assert (bitpack.unpack(bitpack.pack(v, bits), bits, n) == v).all()
+
+
+def test_bitpack_chunking():
+    # cross the internal chunk boundary
+    n = (1 << 20) + 173
+    v = (np.arange(n, dtype=np.uint64) * 2654435761) % 8191
+    assert (bitpack.unpack(bitpack.pack(v, 13), 13, n) == v).all()
+
+
+def test_zigzag():
+    v = np.array([0, -1, 1, -2, 2, 2**62, -(2**62)], dtype=np.int64)
+    z = bitpack.zigzag(v)
+    assert (z[:5] == [0, 1, 2, 3, 4]).all()
+    assert (bitpack.unzigzag(z) == v).all()
+
+
+_INT_CASES = {
+    "zipf_tokens": lambda rng: ((rng.zipf(1.3, 50000) - 1) % 50257).astype(np.int32),
+    "runs": lambda rng: np.repeat(
+        rng.integers(0, 8, 300), rng.integers(1, 200, 300)
+    ).astype(np.int64),
+    "monotonic": lambda rng: np.cumsum(rng.integers(0, 100, 20000)).astype(np.int64),
+    "negative": lambda rng: rng.integers(-(2**31), 2**31, 5000).astype(np.int64),
+    "tiny_range": lambda rng: rng.integers(100, 104, 9999).astype(np.int16),
+    "constant": lambda rng: np.full(5000, 42, dtype=np.int32),
+    "empty": lambda rng: np.empty(0, dtype=np.int32),
+    "single": lambda rng: np.array([-7], dtype=np.int64),
+    "uint": lambda rng: rng.integers(0, 2**63, 1000, dtype=np.uint64),
+}
+
+
+@pytest.mark.parametrize("name", list(_INT_CASES))
+def test_int_auto_roundtrip(name):
+    arr = _INT_CASES[name](np.random.default_rng(7))
+    enc = encode_int_auto(arr)
+    dec = decode_int(enc)
+    assert dec.dtype == arr.dtype
+    assert (dec == arr).all()
+
+
+@pytest.mark.parametrize("codec", ["plain", "bp", "for", "delta", "rle", "dict"])
+def test_int_forced_codec_roundtrip(codec):
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 50, 10000).astype(np.int32)
+    dec = decode_int(encode_int(arr, codec))
+    assert dec.dtype == arr.dtype and (dec == arr).all()
+
+
+def test_auto_picks_small_encodings():
+    rng = np.random.default_rng(11)
+    runs = np.repeat(rng.integers(0, 4, 100), 1000).astype(np.int64)
+    enc = encode_int_auto(runs)
+    assert encoded_size(enc) < runs.nbytes / 100
+
+
+def test_float_roundtrip_bit_identical():
+    rng = np.random.default_rng(5)
+    for dt in (np.float32, np.float64):
+        a = rng.random(10000).astype(dt)
+        a[::97] = np.nan  # NaN payloads must survive
+        a[::101] = np.inf
+        dec = decode_float(encode_float_auto(a))
+        assert dec.dtype == a.dtype
+        assert (dec.view(np.uint32 if dt is np.float32 else np.uint64)
+                == a.view(np.uint32 if dt is np.float32 else np.uint64)).all()
+
+
+def test_float_dict_low_cardinality():
+    a = np.tile(np.array([1.5, 2.5, -0.0, 3.25], dtype=np.float32), 5000)
+    enc = encode_float_auto(a)
+    assert enc["c"] == "fdict"
+    dec = decode_float(enc)
+    assert (dec.view(np.uint32) == a.view(np.uint32)).all()
+
+
+_BYTES_CASES = {
+    "doc_ids": lambda: pa.array([f"src{i % 8}-doc{i:08d}" for i in range(5000)]),
+    "low_card": lambda: pa.array(["web", "books", "code", "wiki"] * 2000),
+    "empty_strings": lambda: pa.array(["", "", "x", ""] * 100),
+    "binary": lambda: pa.array([bytes([i % 256, 255, 0]) for i in range(1000)], type=pa.binary()),
+    "unicode": lambda: pa.array(["héllo wörld", "日本語テキスト", "🎉emoji"] * 500),
+    "single": lambda: pa.array(["only"]),
+    "empty_arr": lambda: pa.array([], type=pa.string()),
+}
+
+
+@pytest.mark.parametrize("name", list(_BYTES_CASES))
+def test_bytes_auto_roundtrip(name):
+    arr = _BYTES_CASES[name]()
+    dec = decode_bytes(encode_bytes_auto(arr))
+    assert dec.cast(arr.type).equals(arr)
+
+
+def test_fsst_roundtrip_edge_cases():
+    # escapes (0xFF bytes), empties, nulls-in-bytes, repeated patterns
+    arr = pa.array(
+        ["", "a", "\xff\xff\xff", "hello world hello world", "src1-doc123",
+         "\x00\x00", "\xffabc\xff"] * 300 + ["zz" + chr(255) * 5]
+    )
+    enc = try_fsst(arr)
+    assert enc is not None
+    assert decode_fsst(enc).cast(pa.string()).equals(arr)
+
+
+def test_fsst_compresses_common_prefixes():
+    arr = pa.array([f"src{i % 8}-doc{i:08d}" for i in range(20000)])
+    enc = try_fsst(arr)
+    assert enc is not None
+    raw = sum(len(s.as_py()) for s in arr)
+    assert encoded_size(enc) < raw * 0.7
+    assert decode_fsst(enc).cast(pa.string()).equals(arr)
+
+
+def test_fsst_bails_on_huge_strings():
+    arr = pa.array(["x" * 100000])
+    assert try_fsst(arr) is None
+
+
+def test_fsst_random_binary_roundtrip():
+    rng = np.random.default_rng(13)
+    vals = [rng.integers(0, 256, rng.integers(0, 40)).astype(np.uint8).tobytes()
+            for _ in range(2000)]
+    arr = pa.array(vals, type=pa.binary())
+    enc = try_fsst(arr)
+    if enc is not None:  # may decline; if it encodes it must round-trip
+        assert decode_fsst(enc).cast(pa.binary()).equals(arr)
+
+
+def test_determinism():
+    """Same input → identical encoding (required for resume, SURVEY.md §7)."""
+    rng = np.random.default_rng(17)
+    arr = ((rng.zipf(1.3, 30000) - 1) % 50257).astype(np.int32)
+    e1, e2 = encode_int_auto(arr), encode_int_auto(arr)
+    assert e1["c"] == e2["c"] and e1["p"] == e2["p"]
+    ids = pa.array([f"d{i % 100}-{i}" for i in range(3000)])
+    f1, f2 = try_fsst(ids), try_fsst(ids)
+    assert f1["p"] == f2["p"] and f1["m"] == f2["m"]

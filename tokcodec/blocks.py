@@ -1,0 +1,284 @@
+"""Encoded block container: a self-contained binary blob per partition.
+
+Layout:  MAGIC | u64 header_len | header JSON | payload bytes
+
+The header carries the Arrow schema (serialized), one codec tree per
+column (payloads replaced by segment ids), the segment table, and
+user/lineage metadata.  Decode needs nothing but the blob — per-partition
+dictionaries / FSST symbol tables live inside it (SURVEY.md §3.4).
+
+An optional zstd entropy pass is applied per payload segment when it
+shrinks it; the codec trees stay lightweight and the pass is recorded in
+the segment table (``raw`` > 0), mirroring Parquet's encoding-then-
+compression page layering.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tokcodec.codecs import (
+    decode_bytes,
+    decode_float,
+    decode_int,
+    encode_bytes_auto,
+    encode_float_auto,
+    encode_int_auto,
+)
+from tokcodec.codecs.intcodecs import _node
+
+MAGIC = b"TOKB1\x00"
+_ZSTD_MIN = 128  # don't bother compressing tiny segments
+_zstd = pa.Codec("zstd")
+
+_INT_TYPES = {
+    pa.int8(),
+    pa.int16(),
+    pa.int32(),
+    pa.int64(),
+    pa.uint8(),
+    pa.uint16(),
+    pa.uint32(),
+    pa.uint64(),
+}
+_FLOAT_TYPES = {pa.float32(), pa.float64()}
+_BYTES_TYPES = {pa.string(), pa.binary(), pa.large_string(), pa.large_binary()}
+
+
+def _np_dtype(t: pa.DataType) -> np.dtype:
+    return np.dtype(t.to_pandas_dtype())
+
+
+# ------------------------------------------------------------ column enc ----
+
+
+def _validity_node(arr: pa.Array) -> dict | None:
+    if arr.null_count == 0:
+        return None
+    bits = np.packbits(
+        pc.is_valid(arr).to_numpy(zero_copy_only=False), bitorder="little"
+    )
+    return _node("valid", {"n": len(arr)}, [bits.tobytes()])
+
+
+def _decode_validity(enc: dict) -> np.ndarray:
+    m = enc["m"]
+    return np.unpackbits(
+        np.frombuffer(enc["p"][0], dtype=np.uint8), count=m["n"], bitorder="little"
+    ).astype(bool)
+
+
+def encode_array(arr: pa.Array) -> dict:
+    """Encode one (combined-chunk) Arrow array into a codec tree."""
+    t = arr.type
+    k: dict = {}
+    v = _validity_node(arr)
+    if v is not None:
+        k["valid"] = v
+
+    if t in _INT_TYPES:
+        # raw data buffer: zero-copy, keeps bytes under null slots intact
+        buf = arr.buffers()[1]
+        vals = np.frombuffer(buf, dtype=_np_dtype(t))[arr.offset : arr.offset + len(arr)]
+        k["data"] = encode_int_auto(vals)
+        return _node("col", {"kind": "int"}, k=k)
+    if pa.types.is_timestamp(t) or pa.types.is_date64(t) or pa.types.is_time64(t):
+        vals = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + len(arr)
+        ]
+        k["data"] = encode_int_auto(vals)
+        return _node("col", {"kind": "int"}, k=k)
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        vals = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr)
+        ]
+        k["data"] = encode_int_auto(vals)
+        return _node("col", {"kind": "int"}, k=k)
+    if t in _FLOAT_TYPES:
+        vals = np.frombuffer(arr.buffers()[1], dtype=_np_dtype(t))[
+            arr.offset : arr.offset + len(arr)
+        ]
+        k["data"] = encode_float_auto(vals)
+        return _node("col", {"kind": "float"}, k=k)
+    if t == pa.bool_():
+        vals = pc.fill_null(arr, False).to_numpy(zero_copy_only=False).astype(np.uint8)
+        k["data"] = encode_int_auto(vals)
+        return _node("col", {"kind": "bool"}, k=k)
+    if t in _BYTES_TYPES:
+        filled = pc.fill_null(arr, b"" if pa.types.is_binary(t) or pa.types.is_large_binary(t) else "")
+        k["data"] = encode_bytes_auto(filled.combine_chunks() if isinstance(filled, pa.ChunkedArray) else filled)
+        return _node("col", {"kind": "bytes"}, k=k)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        off_dt = np.int64 if pa.types.is_large_list(t) else np.int32
+        offsets = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        lengths = np.diff(offsets)
+        values = arr.values.slice(offsets[0], offsets[-1] - offsets[0])
+        k["len"] = encode_int_auto(lengths)
+        k["values"] = encode_array(values)
+        return _node("col", {"kind": "list"}, k=k)
+    if pa.types.is_struct(t):
+        for i, f in enumerate(t):
+            k[f"f{i}"] = encode_array(arr.field(i))
+        return _node("col", {"kind": "struct", "nf": t.num_fields, "n": len(arr)}, k=k)
+    raise TypeError(f"unsupported column type: {t}")
+
+
+def decode_array(enc: dict, t: pa.DataType) -> pa.Array:
+    kind = enc["m"]["kind"]
+    k = enc["k"]
+    mask = None
+    if "valid" in k:
+        mask = ~_decode_validity(k["valid"])  # numpy bool "is null" mask
+
+    if kind == "int":
+        vals = decode_int(k["data"])
+        if pa.types.is_timestamp(t) or pa.types.is_date64(t) or pa.types.is_time64(t):
+            base = pa.array(vals.astype(np.int64), type=pa.int64())
+        elif pa.types.is_date32(t) or pa.types.is_time32(t):
+            base = pa.array(vals.astype(np.int32), type=pa.int32())
+        else:
+            base = pa.array(vals.astype(_np_dtype(t), copy=False), type=t)
+        out = base.cast(t)
+        if mask is not None:
+            out = pc.if_else(pa.array(mask), pa.nulls(len(out), t), out)
+        return out
+    if kind == "float":
+        vals = decode_float(k["data"])
+        out = pa.array(vals, type=t)
+        if mask is not None:
+            out = pc.if_else(pa.array(mask), pa.nulls(len(out), t), out)
+        return out
+    if kind == "bool":
+        vals = decode_int(k["data"]).astype(bool)
+        out = pa.array(vals, type=pa.bool_())
+        if mask is not None:
+            out = pc.if_else(pa.array(mask), pa.nulls(len(out), t), out)
+        return out
+    if kind == "bytes":
+        out = decode_bytes(k["data"])
+        if out.type != t:
+            out = out.cast(t)
+        if mask is not None:
+            out = pc.if_else(pa.array(mask), pa.nulls(len(out), t), out)
+        return out
+    if kind == "list":
+        lengths = decode_int(k["len"]).astype(np.int64)
+        values = decode_array(k["values"], t.value_type)
+        offsets = np.empty(len(lengths) + 1, dtype=np.int64)
+        offsets[0] = 0
+        np.cumsum(lengths, out=offsets[1:])
+        if pa.types.is_large_list(t):
+            off_arr = pa.array(offsets, type=pa.int64())
+            cls = pa.LargeListArray
+        else:
+            off_arr = pa.array(offsets.astype(np.int32), type=pa.int32())
+            cls = pa.ListArray
+        out = cls.from_arrays(off_arr, values)
+        if out.type != t:
+            out = out.cast(t)
+        if mask is not None:
+            out = pc.if_else(pa.array(mask), pa.nulls(len(lengths), t), out)
+        return out
+    if kind == "struct":
+        children = [decode_array(k[f"f{i}"], t.field(i).type) for i in range(t.num_fields)]
+        out = pa.StructArray.from_arrays(
+            children, fields=list(t), mask=pa.array(mask) if mask is not None else None
+        )
+        return out
+    raise TypeError(f"unknown column kind {kind}")
+
+
+# --------------------------------------------------------------- container ----
+
+
+def _flatten(enc: dict, segments: list[bytes]) -> dict:
+    out = {"c": enc["c"], "m": enc["m"]}
+    ids = []
+    for p in enc["p"]:
+        ids.append(len(segments))
+        segments.append(p)
+    out["ps"] = ids
+    out["k"] = {name: _flatten(ch, segments) for name, ch in enc["k"].items()}
+    return out
+
+
+def _unflatten(node: dict, get_seg) -> dict:
+    return {
+        "c": node["c"],
+        "m": node["m"],
+        "p": [get_seg(i) for i in node["ps"]],
+        "k": {name: _unflatten(ch, get_seg) for name, ch in node["k"].items()},
+    }
+
+
+def encode_table(table: pa.Table, meta: dict | None = None, zstd: bool = True) -> bytes:
+    table = table.combine_chunks()
+    segments: list[bytes] = []
+    cols = []
+    for name in table.column_names:
+        col = table.column(name)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if isinstance(arr, pa.ChunkedArray):  # zero chunks edge case
+            arr = pa.concat_arrays(arr.chunks) if arr.num_chunks else pa.nulls(0, arr.type)
+        cols.append({"name": name, "enc": _flatten(encode_array(arr), segments)})
+    seg_table = []
+    payloads = []
+    off = 0
+    for p in segments:
+        raw = 0
+        if zstd and len(p) >= _ZSTD_MIN:
+            c = _zstd.compress(p, asbytes=True)
+            if len(c) < len(p) * 0.98:
+                raw = len(p)
+                p = c
+        seg_table.append({"o": off, "l": len(p), "raw": raw})
+        payloads.append(p)
+        off += len(p)
+    header = {
+        "n_rows": table.num_rows,
+        "schema": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
+        "columns": cols,
+        "segments": seg_table,
+        "meta": meta or {},
+    }
+    hb = json.dumps(header, separators=(",", ":")).encode()
+    return b"".join(
+        [MAGIC, len(hb).to_bytes(8, "little"), hb] + payloads
+    )
+
+
+def read_header(blob: bytes) -> dict:
+    if blob[: len(MAGIC)] != MAGIC:
+        raise ValueError("not a TOKB block")
+    hlen = int.from_bytes(blob[len(MAGIC) : len(MAGIC) + 8], "little")
+    return json.loads(blob[len(MAGIC) + 8 : len(MAGIC) + 8 + hlen].decode())
+
+
+def decode_table(blob: bytes) -> tuple[pa.Table, dict]:
+    header = read_header(blob)
+    hlen = int.from_bytes(blob[len(MAGIC) : len(MAGIC) + 8], "little")
+    base = len(MAGIC) + 8 + hlen
+    segs = header["segments"]
+
+    def get_seg(i: int) -> bytes:
+        s = segs[i]
+        raw = blob[base + s["o"] : base + s["o"] + s["l"]]
+        if s["raw"]:
+            raw = _zstd.decompress(raw, decompressed_size=s["raw"], asbytes=True)
+        return raw
+
+    schema = pa.ipc.read_schema(
+        pa.py_buffer(base64.b64decode(header["schema"]))
+    )
+    arrays = []
+    for colspec in header["columns"]:
+        t = schema.field(colspec["name"]).type
+        arrays.append(decode_array(_unflatten(colspec["enc"], get_seg), t))
+    return pa.Table.from_arrays(arrays, schema=schema), header["meta"]

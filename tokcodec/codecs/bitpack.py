@@ -1,0 +1,71 @@
+"""Bit-packing primitives: fixed-width little-endian bit packing.
+
+Pure numpy, vectorized, chunked so intermediates stay bounded.  These are
+the lowest-level kernels every integer codec (FoR, delta, RLE, dict codes)
+bottoms out in — the analog of parquet-mr's RLE/bit-packed hybrid that the
+reference relies on implicitly (reference types only annotate, see
+/root/reference/parquet-tensorflow/src/main/java/me/lyh/parquet/tensorflow/Schema.java:155-161).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Chunk of values processed at once; multiple of 8 so each chunk's packed bits
+# are byte-aligned and chunks concatenate losslessly.
+_CHUNK = 1 << 20
+
+
+def bit_width(max_val: int) -> int:
+    """Bits needed to represent max_val (non-negative). 0 for max_val == 0."""
+    if max_val < 0:
+        raise ValueError(f"bit_width requires non-negative input, got {max_val}")
+    return int(max_val).bit_length()
+
+
+def pack(vals: np.ndarray, bits: int) -> bytes:
+    """Pack non-negative integers into `bits` bits each, LSB-first.
+
+    vals may be any integer dtype; values must fit in `bits` bits.
+    """
+    n = len(vals)
+    if bits == 0 or n == 0:
+        return b""
+    if bits > 64:
+        raise ValueError(f"bits must be <= 64, got {bits}")
+    v = vals.astype(np.uint64, copy=False)
+    shifts = np.arange(bits, dtype=np.uint64)
+    out = []
+    for s in range(0, n, _CHUNK):
+        c = v[s : s + _CHUNK]
+        bitmat = ((c[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        out.append(np.packbits(bitmat.ravel(), bitorder="little").tobytes())
+    return b"".join(out)
+
+
+def unpack(buf: bytes, bits: int, n: int, dtype=np.uint64) -> np.ndarray:
+    """Inverse of pack(): recover n values of `bits` bits each."""
+    if bits == 0 or n == 0:
+        return np.zeros(n, dtype=dtype)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    shifts = np.arange(bits, dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    bytes_per_chunk = _CHUNK * bits // 8
+    for i, s in enumerate(range(0, n, _CHUNK)):
+        cn = min(_CHUNK, n - s)
+        chunk = raw[i * bytes_per_chunk : i * bytes_per_chunk + (cn * bits + 7) // 8]
+        bitsarr = np.unpackbits(chunk, count=cn * bits, bitorder="little")
+        mat = bitsarr.reshape(cn, bits).astype(np.uint64)
+        out[s : s + cn] = (mat << shifts).sum(axis=1, dtype=np.uint64)
+    return out.astype(dtype, copy=False)
+
+
+def zigzag(vals: np.ndarray) -> np.ndarray:
+    """Map signed int64 → uint64 so small-magnitude values stay small."""
+    v = vals.astype(np.int64, copy=False)
+    return ((v << 1) ^ (v >> 63)).view(np.uint64)
+
+
+def unzigzag(vals: np.ndarray) -> np.ndarray:
+    v = vals.astype(np.uint64, copy=False)
+    return ((v >> np.uint64(1)).view(np.int64)) ^ -((v & np.uint64(1)).view(np.int64))

@@ -1,0 +1,155 @@
+"""Binary/string codecs: plain (lengths + blob), dictionary, FSST.
+
+Operate on pyarrow Binary/String arrays (zero-copy buffer access in,
+exact Arrow array reconstruction out).  Nulls are handled one level up
+(blocks.py strips/reapplies validity); arrays here are null-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tokcodec.codecs.intcodecs import _best_int, _node, _size, decode_int
+
+_PA_TYPES = {
+    "string": pa.string(),
+    "binary": pa.binary(),
+    "large_string": pa.large_string(),
+    "large_binary": pa.large_binary(),
+}
+
+# FSST is worthwhile on short-ish strings; guard against pathological
+# per-string loop counts on huge documents (SURVEY.md §7 hard parts).
+FSST_MAX_AVG_LEN = 512
+
+
+def arr_to_np(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(lengths int64[n], data uint8[total]) for a null-free binary-ish array."""
+    if arr.null_count:
+        raise ValueError("bytes codecs expect null-free input")
+    t = arr.type
+    if t in (pa.large_string(), pa.large_binary()):
+        off_dt = np.int64
+    else:
+        off_dt = np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=off_dt)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]] if len(off) else np.empty(0, np.uint8)
+    lengths = np.diff(off).astype(np.int64)
+    return lengths, data
+
+
+def np_to_arr(lengths: np.ndarray, data: np.ndarray, pa_type_name: str) -> pa.Array:
+    t = _PA_TYPES[pa_type_name]
+    large = pa_type_name.startswith("large")
+    off_dt = np.int64 if large else np.int32
+    offsets = np.empty(len(lengths) + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.Array.from_buffers(
+        t,
+        len(lengths),
+        [None, pa.py_buffer(offsets.astype(off_dt, copy=False)), pa.py_buffer(data)],
+    )
+
+
+def _type_name(t: pa.DataType) -> str:
+    for name, typ in _PA_TYPES.items():
+        if t == typ:
+            return name
+    raise ValueError(f"unsupported bytes type {t}")
+
+
+# ---------------------------------------------------------------- plain ----
+
+
+def _enc_plain_bytes(arr: pa.Array) -> dict:
+    lengths, data = arr_to_np(arr)
+    return _node(
+        "pbytes",
+        {"pa": _type_name(arr.type), "n": len(arr)},
+        [data.tobytes()],
+        {"len": _best_int(lengths, allow_delta=False)},
+    )
+
+
+def _dec_plain_bytes(enc: dict) -> pa.Array:
+    m = enc["m"]
+    lengths = decode_int(enc["k"]["len"]).astype(np.int64)
+    data = np.frombuffer(enc["p"][0], dtype=np.uint8)
+    return np_to_arr(lengths, data, m["pa"])
+
+
+# ----------------------------------------------------------------- dict ----
+
+
+def _enc_dict_bytes(arr: pa.Array, fsst_values: bool = True) -> dict:
+    d = pc.dictionary_encode(arr)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uvals = d.dictionary
+    # encode the (usually small) unique-value blob; FSST it when it helps
+    from tokcodec.codecs.fsst import try_fsst
+
+    venc = try_fsst(uvals) if fsst_values else None
+    if venc is None:
+        venc = _enc_plain_bytes(uvals)
+    return _node(
+        "dbytes",
+        {"pa": _type_name(arr.type), "n": len(arr)},
+        k={"codes": _best_int(codes, allow_dict=False), "uvals": venc},
+    )
+
+
+def _dec_dict_bytes(enc: dict) -> pa.Array:
+    m = enc["m"]
+    uvals = decode_bytes(enc["k"]["uvals"])
+    codes = decode_int(enc["k"]["codes"])
+    return pc.take(uvals, pa.array(codes)).cast(_PA_TYPES[m["pa"]])
+
+
+# ---------------------------------------------------------- auto select ----
+
+
+def encode_bytes_auto(arr: pa.Array, choice: str | None = None) -> dict:
+    if choice is not None:
+        return encode_bytes(arr, choice)
+    from tokcodec.codecs.fsst import try_fsst
+
+    n = len(arr)
+    cands = [_enc_plain_bytes(arr.slice(0, min(n, 4096)))]
+    if n:
+        cands.append(_enc_dict_bytes(arr.slice(0, min(n, 4096)), fsst_values=False))
+        f = try_fsst(arr.slice(0, min(n, 4096)))
+        if f is not None:
+            cands.append(f)
+    best = min(cands, key=_size)["c"]
+    enc = encode_bytes(arr, {"pbytes": "plain", "dbytes": "dict", "fsst": "fsst"}[best])
+    if enc is None:  # fsst sampled well but bailed on full data
+        enc = _enc_dict_bytes(arr)
+    return enc
+
+
+def encode_bytes(arr: pa.Array, codec: str) -> dict | None:
+    if codec == "plain":
+        return _enc_plain_bytes(arr)
+    if codec == "dict":
+        return _enc_dict_bytes(arr)
+    if codec == "fsst":
+        from tokcodec.codecs.fsst import try_fsst
+
+        return try_fsst(arr)
+    raise KeyError(codec)
+
+
+def decode_bytes(enc: dict) -> pa.Array:
+    if enc["c"] == "pbytes":
+        return _dec_plain_bytes(enc)
+    if enc["c"] == "dbytes":
+        return _dec_dict_bytes(enc)
+    if enc["c"] == "fsst":
+        from tokcodec.codecs.fsst import decode_fsst
+
+        return decode_fsst(enc)
+    raise KeyError(enc["c"])

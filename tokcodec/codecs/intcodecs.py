@@ -1,0 +1,278 @@
+"""Integer (and float) codecs: plain, bit-pack, frame-of-reference, delta,
+RLE, dictionary — each with encode/decode and a sampled-size auto-selector.
+
+All intermediates are int64/uint64 so int32 token ids can't overflow
+(SURVEY.md §7 "hard parts": dtype discipline for bit-identical decode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tokcodec.codecs import bitpack
+
+# Deterministic contiguous sample size used for codec selection.  A strided
+# sample would destroy runs and bias against RLE, so we take a prefix.
+SAMPLE = 8192
+
+
+def _node(c: str, m: dict, p: list[bytes] | None = None, k: dict | None = None) -> dict:
+    return {"c": c, "m": m, "p": p or [], "k": k or {}}
+
+
+# ---------------------------------------------------------------- plain ----
+
+
+def _enc_plain(arr: np.ndarray) -> dict:
+    return _node("plain", {"dt": arr.dtype.str, "n": len(arr)}, [arr.tobytes()])
+
+
+def _dec_plain(enc: dict) -> np.ndarray:
+    m = enc["m"]
+    return np.frombuffer(enc["p"][0], dtype=np.dtype(m["dt"]))[: m["n"]]
+
+
+# -------------------------------------------------------------- bitpack ----
+
+
+def _enc_bitpack(arr: np.ndarray) -> dict | None:
+    """Non-negative values only; None if not applicable."""
+    if len(arr) == 0:
+        return _node("bp", {"dt": arr.dtype.str, "n": 0, "b": 0})
+    lo = int(arr.min())
+    if lo < 0:
+        return None
+    bits = bitpack.bit_width(int(arr.max()))
+    return _node(
+        "bp",
+        {"dt": arr.dtype.str, "n": len(arr), "b": bits},
+        [bitpack.pack(arr, bits)],
+    )
+
+
+def _dec_bitpack(enc: dict) -> np.ndarray:
+    m = enc["m"]
+    return bitpack.unpack(enc["p"][0], m["b"], m["n"], dtype=np.dtype(m["dt"]))
+
+
+# ----------------------------------------------------- frame of reference ----
+
+
+def _enc_for(arr: np.ndarray) -> dict:
+    if len(arr) == 0:
+        return _node("for", {"dt": arr.dtype.str, "n": 0, "ref": 0, "b": 0})
+    a64 = arr.astype(np.int64, copy=False)
+    ref = int(a64.min())
+    deltas = (a64 - ref).view(np.uint64)  # non-negative after min-subtract
+    bits = bitpack.bit_width(int(deltas.max()))
+    return _node(
+        "for",
+        {"dt": arr.dtype.str, "n": len(arr), "ref": ref, "b": bits},
+        [bitpack.pack(deltas, bits)],
+    )
+
+
+def _dec_for(enc: dict) -> np.ndarray:
+    m = enc["m"]
+    deltas = bitpack.unpack(enc["p"][0], m["b"], m["n"], dtype=np.uint64)
+    vals = deltas.view(np.int64) + np.int64(m["ref"])
+    return vals.astype(np.dtype(m["dt"]), copy=False)
+
+
+# ---------------------------------------------------------------- delta ----
+# For near-monotonic sequences (list offsets, row ids): zigzag(diff) then
+# FoR+bitpack the zigzagged deltas.
+
+
+def _enc_delta(arr: np.ndarray) -> dict:
+    if len(arr) == 0:
+        return _node("delta", {"dt": arr.dtype.str, "n": 0, "first": 0})
+    a64 = arr.astype(np.int64, copy=False)
+    first = int(a64[0])
+    z = bitpack.zigzag(np.diff(a64))
+    child = _enc_for(z.view(np.int64)) if len(z) else _enc_for(np.empty(0, np.int64))
+    return _node(
+        "delta", {"dt": arr.dtype.str, "n": len(arr), "first": first}, k={"z": child}
+    )
+
+
+def _dec_delta(enc: dict) -> np.ndarray:
+    m = enc["m"]
+    n = m["n"]
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out.astype(np.dtype(m["dt"]))
+    out[0] = m["first"]
+    if n > 1:
+        z = _dec_for(enc["k"]["z"]).view(np.uint64)
+        np.cumsum(bitpack.unzigzag(z), out=out[1:])
+        out[1:] += m["first"]
+    return out.astype(np.dtype(m["dt"]), copy=False)
+
+
+# ------------------------------------------------------------------ rle ----
+
+
+def _runs(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = len(arr)
+    if n == 0:
+        return arr[:0], np.empty(0, np.int64)
+    change = np.flatnonzero(arr[1:] != arr[:-1])
+    starts = np.concatenate(([0], change + 1))
+    lengths = np.diff(np.concatenate((starts, [n])))
+    return arr[starts], lengths
+
+
+def _enc_rle(arr: np.ndarray) -> dict:
+    vals, lengths = _runs(arr)
+    return _node(
+        "rle",
+        {"dt": arr.dtype.str, "n": len(arr)},
+        k={
+            "v": _best_int(vals, allow_rle=False, allow_dict=False),
+            # run length >= 1 always; store length-1 for tighter bit width
+            "l": _enc_for(lengths - 1),
+        },
+    )
+
+
+def _dec_rle(enc: dict) -> np.ndarray:
+    m = enc["m"]
+    vals = decode_int(enc["k"]["v"])
+    lengths = _dec_for(enc["k"]["l"]).astype(np.int64) + 1
+    out = np.repeat(vals, lengths)
+    return out.astype(np.dtype(m["dt"]), copy=False)[: m["n"]]
+
+
+# ----------------------------------------------------------------- dict ----
+
+
+def _enc_dict(arr: np.ndarray) -> dict:
+    uniq, codes = np.unique(arr, return_inverse=True)
+    return _node(
+        "dict",
+        {"dt": arr.dtype.str, "n": len(arr)},
+        k={
+            "codes": _best_int(codes.astype(np.int64), allow_dict=False),
+            "values": _best_int(uniq, allow_dict=False, allow_rle=False),
+        },
+    )
+
+
+def _dec_dict(enc: dict) -> np.ndarray:
+    uniq = decode_int(enc["k"]["values"])
+    codes = decode_int(enc["k"]["codes"])
+    return uniq[codes].astype(np.dtype(enc["m"]["dt"]), copy=False)
+
+
+# ---------------------------------------------------------- auto select ----
+
+_INT_DECODERS = {
+    "plain": _dec_plain,
+    "bp": _dec_bitpack,
+    "for": _dec_for,
+    "delta": _dec_delta,
+    "rle": _dec_rle,
+    "dict": _dec_dict,
+}
+
+
+def _candidates(allow_rle: bool = True, allow_dict: bool = True, allow_delta: bool = True):
+    cands = [_enc_plain, _enc_bitpack, _enc_for]
+    if allow_delta:
+        cands.append(_enc_delta)
+    if allow_rle:
+        cands.append(_enc_rle)
+    if allow_dict:
+        cands.append(_enc_dict)
+    return cands
+
+
+def _size(enc: dict) -> int:
+    total = sum(len(p) for p in enc["p"])
+    for ch in enc["k"].values():
+        total += _size(ch)
+    return total
+
+
+def _best_int(
+    arr: np.ndarray, allow_rle: bool = True, allow_dict: bool = True, allow_delta: bool = True
+) -> dict:
+    """Pick the smallest encoding, estimating on a prefix sample for large
+    arrays then encoding the full array with the winner."""
+    cands = _candidates(allow_rle, allow_dict, allow_delta)
+    if len(arr) > 4 * SAMPLE:
+        sample = arr[:SAMPLE]
+        scored = []
+        for enc_fn in cands:
+            e = enc_fn(sample)
+            if e is not None:
+                scored.append((_size(e), enc_fn))
+        scored.sort(key=lambda t: t[0])
+        best = scored[0][1](arr)
+        if best is not None:
+            return best
+    # small array (or sampled winner inapplicable on full data): exact search
+    encs = [e for e in (fn(arr) for fn in cands) if e is not None]
+    return min(encs, key=_size)
+
+
+def encode_int_auto(arr: np.ndarray, choice: str | None = None) -> dict:
+    """Encode an integer array, auto-selecting the codec (or forcing one)."""
+    if choice is not None:
+        return encode_int(arr, choice)
+    return _best_int(arr)
+
+
+def encode_int(arr: np.ndarray, codec: str) -> dict:
+    fn = {
+        "plain": _enc_plain,
+        "bp": _enc_bitpack,
+        "for": _enc_for,
+        "delta": _enc_delta,
+        "rle": _enc_rle,
+        "dict": _enc_dict,
+    }[codec]
+    enc = fn(arr)
+    if enc is None:
+        raise ValueError(f"codec {codec} not applicable to this array")
+    return enc
+
+
+def decode_int(enc: dict) -> np.ndarray:
+    return _INT_DECODERS[enc["c"]](enc)
+
+
+# ---------------------------------------------------------------- float ----
+
+
+def encode_float_auto(arr: np.ndarray) -> dict:
+    """Floats: plain, or dict when cardinality is low (bit-identical via
+    viewing the raw bits as integers so NaN payloads survive)."""
+    n = len(arr)
+    view = arr.view(np.uint32 if arr.dtype == np.float32 else np.uint64)
+    if n > 16:
+        uniq = np.unique(view[: min(n, 4 * SAMPLE)])
+        if len(uniq) <= max(16, n // 8):
+            full_uniq, codes = np.unique(view, return_inverse=True)
+            enc = _node(
+                "fdict",
+                {"dt": arr.dtype.str, "n": n},
+                k={
+                    "codes": _best_int(codes.astype(np.int64), allow_dict=False),
+                    "values": _enc_plain(full_uniq),
+                },
+            )
+            if _size(enc) < arr.nbytes:
+                return enc
+    return _node("fplain", {"dt": arr.dtype.str, "n": n}, [arr.tobytes()])
+
+
+def decode_float(enc: dict) -> np.ndarray:
+    m = enc["m"]
+    dt = np.dtype(m["dt"])
+    if enc["c"] == "fplain":
+        return np.frombuffer(enc["p"][0], dtype=dt)[: m["n"]]
+    uniq = _dec_plain(enc["k"]["values"])
+    codes = decode_int(enc["k"]["codes"])
+    return uniq[codes].view(dt)
