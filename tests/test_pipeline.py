@@ -1,0 +1,114 @@
+"""Ray pipeline tests: planned encode→decode round trip, skew-balanced
+partitioning, resume semantics, streaming variant (SURVEY.md §7 steps 1,
+5, 6)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from tokcodec.pipelines import (
+    decode_dataset,
+    decode_stream,
+    encode_dataset,
+    encode_stream,
+    plan_partitions,
+)
+
+TARGET = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def encoded(ray_session, fixture_parquet, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc"))
+    res = encode_dataset(fixture_parquet, out, target_tokens=TARGET)
+    return fixture_parquet, out, res
+
+
+def test_plan_is_deterministic_and_balanced(fixture_parquet):
+    p1 = plan_partitions(fixture_parquet, target_tokens=TARGET, parallel=False)
+    p2 = plan_partitions(fixture_parquet, target_tokens=TARGET, parallel=False)
+    assert p1 == p2
+    masses = [s["n_tok"] for s in p1["partitions"]]
+    assert len(masses) >= 3
+    # skew balance: no partition more than 2x the target
+    assert max(masses) < 2 * TARGET
+
+
+def test_encode_decode_round_trip(encoded):
+    src, out, _res = encoded
+    back = decode_dataset(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    orig = pq.read_table(src).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (back["doc_id"] == orig["doc_id"]).all()
+    assert (back["n_tok"].to_numpy() == orig["n_tok"].to_numpy()).all()
+    assert (back["source"] == orig["source"]).all()
+    # the north-rule per-row invariant: token arrays bit-identical
+    for a, b in zip(back["tokens"], orig["tokens"]):
+        assert a.dtype == np.int32 and (a == b).all()
+
+
+def test_size_criterion(encoded):
+    src, out, res = encoded
+    total = sum(m["bytes_out"] for m in res["metrics"])
+    assert total <= os.path.getsize(src)
+
+
+def test_resume_skips_complete_partitions(encoded):
+    src, out, _ = encoded
+    res = encode_dataset(src, out, target_tokens=TARGET)
+    assert all(m["resumed"] for m in res["metrics"])
+
+
+def test_resume_redoes_missing_partition(encoded, tmp_path):
+    src, out, _ = encoded
+    out2 = str(tmp_path / "enc2")
+    shutil.copytree(out, out2)
+    os.remove(os.path.join(out2, "part-00001.manifest.json"))
+    res = encode_dataset(src, out2, target_tokens=TARGET)
+    redone = sorted(m["pid"] for m in res["metrics"] if not m["resumed"])
+    assert redone == [1]
+
+
+def test_resume_detects_truncated_block(encoded, tmp_path):
+    src, out, _ = encoded
+    out2 = str(tmp_path / "enc3")
+    shutil.copytree(out, out2)
+    bp = os.path.join(out2, "part-00000.tokb")
+    with open(bp, "r+b") as f:
+        f.truncate(100)
+    res = encode_dataset(src, out2, target_tokens=TARGET)
+    redone = sorted(m["pid"] for m in res["metrics"] if not m["resumed"])
+    assert redone == [0]
+
+
+def test_config_change_invalidates(encoded, tmp_path):
+    src, out, _ = encoded
+    out2 = str(tmp_path / "enc4")
+    shutil.copytree(out, out2)
+    res = encode_dataset(src, out2, target_tokens=TARGET // 2)
+    assert not any(m.get("resumed") for m in res["metrics"])
+
+
+def test_column_projection_at_read(ray_session, fixture_parquet, tmp_path):
+    out = str(tmp_path / "enc5")
+    encode_dataset(
+        fixture_parquet, out, target_tokens=TARGET, columns=["doc_id", "n_tok"]
+    )
+    ds = decode_dataset(out)
+    assert set(ds.schema().names) == {"doc_id", "n_tok"}
+
+
+def test_stream_round_trip(ray_session, fixture_parquet):
+    import ray.data
+
+    src = ray.data.read_parquet(fixture_parquet)
+    enc = encode_stream(src).materialize()
+    assert enc.count() >= 1
+    dec = decode_stream(enc)
+    assert dec.count() == pq.read_metadata(fixture_parquet).num_rows
+    total_out = sum(r["bytes_out"] for r in enc.take_all())
+    assert total_out <= os.path.getsize(fixture_parquet) * 1.2

@@ -23,40 +23,66 @@ def bit_width(max_val: int) -> int:
     return int(max_val).bit_length()
 
 
+def _narrow_uint(bits: int) -> np.dtype:
+    """Smallest little-endian uint dtype holding `bits` bits."""
+    if bits <= 8:
+        return np.dtype("<u1")
+    if bits <= 16:
+        return np.dtype("<u2")
+    if bits <= 32:
+        return np.dtype("<u4")
+    return np.dtype("<u8")
+
+
 def pack(vals: np.ndarray, bits: int) -> bytes:
     """Pack non-negative integers into `bits` bits each, LSB-first.
 
-    vals may be any integer dtype; values must fit in `bits` bits.
+    Implementation rides numpy's C-speed unpackbits: narrow the values to
+    the smallest uint dtype, explode to a (n, dtype_bits) little-endian
+    bit matrix, keep the low `bits` columns, re-pack.
     """
     n = len(vals)
     if bits == 0 or n == 0:
         return b""
     if bits > 64:
         raise ValueError(f"bits must be <= 64, got {bits}")
-    v = vals.astype(np.uint64, copy=False)
-    shifts = np.arange(bits, dtype=np.uint64)
+    dt = _narrow_uint(bits)
+    v = vals.astype(dt, copy=False)
+    nb = dt.itemsize
     out = []
     for s in range(0, n, _CHUNK):
-        c = v[s : s + _CHUNK]
-        bitmat = ((c[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        c = np.ascontiguousarray(v[s : s + _CHUNK])
+        bitmat = np.unpackbits(
+            c.view(np.uint8).reshape(len(c), nb), axis=1, bitorder="little"
+        )[:, :bits]
         out.append(np.packbits(bitmat.ravel(), bitorder="little").tobytes())
     return b"".join(out)
 
 
 def unpack(buf: bytes, bits: int, n: int, dtype=np.uint64) -> np.ndarray:
-    """Inverse of pack(): recover n values of `bits` bits each."""
+    """Inverse of pack(): recover n values of `bits` bits each.
+
+    Bits → zero-padded (n, 8*nb) bit matrix → packbits per row → view as
+    the narrow uint dtype; all C-speed."""
     if bits == 0 or n == 0:
         return np.zeros(n, dtype=dtype)
     raw = np.frombuffer(buf, dtype=np.uint8)
-    shifts = np.arange(bits, dtype=np.uint64)
-    out = np.empty(n, dtype=np.uint64)
+    dt = _narrow_uint(bits)
+    nb = dt.itemsize
+    out = np.empty(n, dtype=dt)
     bytes_per_chunk = _CHUNK * bits // 8
     for i, s in enumerate(range(0, n, _CHUNK)):
         cn = min(_CHUNK, n - s)
         chunk = raw[i * bytes_per_chunk : i * bytes_per_chunk + (cn * bits + 7) // 8]
-        bitsarr = np.unpackbits(chunk, count=cn * bits, bitorder="little")
-        mat = bitsarr.reshape(cn, bits).astype(np.uint64)
-        out[s : s + cn] = (mat << shifts).sum(axis=1, dtype=np.uint64)
+        bitsarr = np.unpackbits(chunk, count=cn * bits, bitorder="little").reshape(cn, bits)
+        if bits % (8 * nb):
+            padded = np.zeros((cn, 8 * nb), dtype=np.uint8)
+            padded[:, :bits] = bitsarr
+        else:
+            padded = bitsarr
+        out[s : s + cn] = (
+            np.packbits(padded, axis=1, bitorder="little").view(dt).ravel()
+        )
     return out.astype(dtype, copy=False)
 
 

@@ -195,26 +195,62 @@ def _size(enc: dict) -> int:
     return total
 
 
+_zstd1 = None
+
+
+def _est_z(enc: dict) -> float:
+    """Estimated *post-container* size: the container zstd-compresses each
+    payload, so codec selection must score compressed bytes, not raw bytes
+    (bp+zstd routinely beats dict pre-zstd).  Large payloads are estimated
+    from a compressed prefix."""
+    global _zstd1
+    if _zstd1 is None:
+        import pyarrow as pa
+
+        _zstd1 = pa.Codec("zstd")
+    total = 0.0
+    for p in enc["p"]:
+        n = len(p)
+        if n < 128:
+            total += n
+        else:
+            pref = p if n <= (1 << 18) else p[: 1 << 18]
+            ratio = len(_zstd1.compress(pref, asbytes=True)) / len(pref)
+            total += min(1.0, ratio) * n
+    for ch in enc["k"].values():
+        total += _est_z(ch)
+    return total
+
+
 def _best_int(
     arr: np.ndarray, allow_rle: bool = True, allow_dict: bool = True, allow_delta: bool = True
 ) -> dict:
-    """Pick the smallest encoding, estimating on a prefix sample for large
-    arrays then encoding the full array with the winner."""
+    """Pick the smallest (post-zstd-estimated) encoding: estimate on a
+    prefix sample for large arrays, encode the full array with the winner,
+    and guard sample-biased winners (dict/rle/delta) against a cheap
+    full-array FoR encode."""
     cands = _candidates(allow_rle, allow_dict, allow_delta)
     if len(arr) > 4 * SAMPLE:
         sample = arr[:SAMPLE]
+        if allow_dict and len(np.unique(sample)) > SAMPLE // 4:
+            # cardinality grows with n; sampled dict estimates are biased low
+            cands = [fn for fn in cands if fn is not _enc_dict]
         scored = []
         for enc_fn in cands:
             e = enc_fn(sample)
             if e is not None:
-                scored.append((_size(e), enc_fn))
-        scored.sort(key=lambda t: t[0])
-        best = scored[0][1](arr)
+                scored.append((_est_z(e), id(enc_fn), enc_fn))
+        scored.sort(key=lambda t: (t[0], t[1]))
+        best_fn = scored[0][2]
+        best = best_fn(arr)
         if best is not None:
+            if best_fn not in (_enc_plain, _enc_bitpack, _enc_for):
+                alt = _enc_for(arr)
+                if _est_z(alt) <= _est_z(best):
+                    best = alt
             return best
-    # small array (or sampled winner inapplicable on full data): exact search
     encs = [e for e in (fn(arr) for fn in cands) if e is not None]
-    return min(encs, key=_size)
+    return min(encs, key=_est_z)
 
 
 def encode_int_auto(arr: np.ndarray, choice: str | None = None) -> dict:

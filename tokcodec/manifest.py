@@ -1,0 +1,101 @@
+"""Per-partition lineage/metrics manifests + plan manifest for resumable
+runs (north rule: "checkpoint-resumable ... per-partition lineage +
+metrics"; design in SURVEY.md §4 'Checkpoint / resume').
+
+Layout under an output dir:
+
+    plan.json                      # partition specs + config fingerprint
+    part-00042.tokb                # encoded block (atomic tmp+rename)
+    part-00042.manifest.json       # lineage, metrics, checksum
+
+A partition is complete iff its manifest exists, carries the current
+plan fingerprint, and its block file exists with the recorded size.
+Resume = skip complete partitions; everything is a pure function of
+(input files, config) so a rerun reproduces identical partitioning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any
+
+
+def fingerprint(obj: Any) -> str:
+    return hashlib.sha256(
+        json.dumps(obj, sort_keys=True, separators=(",", ":")).encode()
+    ).hexdigest()[:16]
+
+
+def atomic_write_bytes(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def atomic_write_json(path: str, obj: Any) -> None:
+    atomic_write_bytes(path, json.dumps(obj, indent=1, sort_keys=True).encode())
+
+
+def block_path(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, f"part-{pid:05d}.tokb")
+
+
+def manifest_path(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, f"part-{pid:05d}.manifest.json")
+
+
+def write_partition(
+    out_dir: str, pid: int, blob: bytes, lineage: dict, metrics: dict, fp: str
+) -> dict:
+    bp = block_path(out_dir, pid)
+    atomic_write_bytes(bp, blob)
+    man = {
+        "pid": pid,
+        "fingerprint": fp,
+        "block": os.path.basename(bp),
+        "block_bytes": len(blob),
+        "checksum": hashlib.sha256(blob).hexdigest(),
+        "lineage": lineage,
+        "metrics": metrics,
+    }
+    atomic_write_json(manifest_path(out_dir, pid), man)
+    return man
+
+
+def load_manifest(out_dir: str, pid: int) -> dict | None:
+    try:
+        with open(manifest_path(out_dir, pid)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def is_complete(out_dir: str, pid: int, fp: str, verify_checksum: bool = False) -> bool:
+    man = load_manifest(out_dir, pid)
+    if man is None or man.get("fingerprint") != fp:
+        return False
+    bp = os.path.join(out_dir, man["block"])
+    try:
+        if os.path.getsize(bp) != man["block_bytes"]:
+            return False
+    except OSError:
+        return False
+    if verify_checksum:
+        with open(bp, "rb") as f:
+            if hashlib.sha256(f.read()).hexdigest() != man["checksum"]:
+                return False
+    return True
+
+
+def list_manifests(out_dir: str) -> list[dict]:
+    out = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.endswith(".manifest.json"):
+            with open(os.path.join(out_dir, name)) as f:
+                out.append(json.load(f))
+    return out

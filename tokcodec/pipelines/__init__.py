@@ -1,0 +1,7 @@
+from tokcodec.pipelines.encode import (  # noqa: F401
+    decode_dataset,
+    decode_stream,
+    encode_dataset,
+    encode_stream,
+    plan_partitions,
+)

@@ -1,0 +1,319 @@
+"""Ray-Data encode/decode pipelines.
+
+Two shapes, both idiomatic Ray Data:
+
+1. **Planned, resumable** (`plan_partitions` → `encode_dataset`): a cheap
+   distributed pass over the `n_tok` column builds skew-balanced
+   partitions of ~equal token mass (pure function of input + config →
+   deterministic, resumable).  The encode stage is a Dataset of
+   partition specs mapped through a *stateful actor pool*
+   (`map_batches(EncodeWorker, concurrency=N)`); each actor reads its
+   row ranges straight from storage (columns pruned), encodes with the
+   codec engine, and writes block + manifest atomically.  This is the
+   100 TB path: data moves storage→worker→storage exactly once, nothing
+   transits the object store, and a dead run resumes by skipping
+   complete manifests.
+
+2. **Streaming** (`encode_stream` / `decode_stream`): pure
+   `Dataset.map_batches` stages (Arrow in, one encoded-blob row out /
+   blob in, Arrow out) for composing with other Dataset transforms.
+
+The reference's only distribution story is Hadoop MR input/output
+formats with the schema in the job conf
+(/root/reference/parquet-tensorflow/.../ExampleParquetInputFormat.java:10-31);
+here the "job conf" is the plan manifest and Ray Data owns scheduling.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tokcodec import manifest as mf
+from tokcodec.blocks import decode_table, encode_table
+
+DEFAULT_TARGET_TOKENS = 32_000_000  # ~64 MB of int32 tokens per partition
+
+
+# ------------------------------------------------------------- planning ----
+
+
+def _file_token_plan(path: str, target_tokens: int, token_col: str | None) -> list[dict]:
+    """Split one parquet file into row ranges of ~target token mass.
+
+    Reads only the token-count column (or just row counts when absent) —
+    the ~0.1% 'stats pass' that buys deterministic skew-balanced
+    partitioning (SURVEY.md §4 'Skew / stragglers').
+    """
+    f = pq.ParquetFile(path)
+    n_rows = f.metadata.num_rows
+    if n_rows == 0:
+        return []
+    if token_col is not None and token_col in f.schema_arrow.names:
+        ntok = f.read(columns=[token_col]).column(0).combine_chunks()
+        mass = np.abs(ntok.to_numpy(zero_copy_only=False).astype(np.int64))
+    else:
+        mass = np.ones(n_rows, dtype=np.int64)
+        target_tokens = max(1, min(target_tokens, 1_000_000))
+    cum = np.cumsum(mass)
+    total = int(cum[-1])
+    n_parts = max(1, round(total / target_tokens))
+    # equal-mass boundaries; a single monster row stays alone in its part
+    bounds = [0]
+    for k in range(1, n_parts):
+        b = int(np.searchsorted(cum, k * total / n_parts))
+        if b > bounds[-1]:
+            bounds.append(b)
+    bounds.append(n_rows)
+    specs = []
+    for row_start, row_end in zip(bounds[:-1], bounds[1:]):
+        specs.append(
+            {
+                "file": os.path.abspath(path),
+                "row_start": int(row_start),
+                "row_end": int(row_end),
+                "n_tok": int(cum[row_end - 1] - (cum[row_start - 1] if row_start else 0)),
+            }
+        )
+    return specs
+
+
+def plan_partitions(
+    input_paths: str | list[str],
+    target_tokens: int = DEFAULT_TARGET_TOKENS,
+    token_col: str | None = "n_tok",
+    columns: list[str] | None = None,
+    parallel: bool = True,
+) -> dict:
+    """Build the deterministic partition plan.
+
+    Returns {"fingerprint", "config", "partitions": [spec, ...]} where each
+    spec is {pid, file, row_start, row_end, n_tok}.  Per-file token scans
+    run as parallel Ray tasks when a Ray session is active.
+    """
+    if isinstance(input_paths, str):
+        if os.path.isdir(input_paths):
+            files = sorted(
+                os.path.join(input_paths, n)
+                for n in os.listdir(input_paths)
+                if n.endswith(".parquet")
+            )
+        else:
+            files = [input_paths]
+    else:
+        files = sorted(input_paths)
+    if not files:
+        raise ValueError(f"no parquet files under {input_paths!r}")
+
+    import ray
+
+    if parallel and ray.is_initialized() and len(files) > 1:
+        plan_task = ray.remote(num_cpus=1)(_file_token_plan)
+        per_file = ray.get(
+            [plan_task.remote(p, target_tokens, token_col) for p in files]
+        )
+    else:
+        per_file = [_file_token_plan(p, target_tokens, token_col) for p in files]
+
+    partitions = []
+    for specs in per_file:
+        for s in specs:
+            s["pid"] = len(partitions)
+            partitions.append(s)
+    config = {
+        "target_tokens": target_tokens,
+        "token_col": token_col,
+        "columns": columns,
+        "files": [os.path.abspath(p) for p in files],
+        "format": "TOKB1",
+    }
+    return {"fingerprint": mf.fingerprint(config), "config": config, "partitions": partitions}
+
+
+# ------------------------------------------------------------ encoding ----
+
+
+def _read_rows(path: str, row_start: int, row_end: int, columns: list[str] | None) -> pa.Table:
+    """Read [row_start, row_end) from a parquet file touching only the
+    overlapping row groups (never the whole file)."""
+    f = pq.ParquetFile(path)
+    md = f.metadata
+    offs = [0]
+    for i in range(md.num_row_groups):
+        offs.append(offs[-1] + md.row_group(i).num_rows)
+    rgs = [
+        i
+        for i in range(md.num_row_groups)
+        if offs[i + 1] > row_start and offs[i] < row_end
+    ]
+    t = f.read_row_groups(rgs, columns=columns, use_threads=False)
+    base = offs[rgs[0]] if rgs else 0
+    return t.slice(row_start - base, row_end - row_start)
+
+
+_METRIC_KEYS = (
+    "pid", "rows", "n_tok", "bytes_in", "bytes_out", "read_s", "encode_s", "resumed",
+)
+
+
+class EncodeWorker:
+    """Stateful actor-pool stage: one call encodes one (or a few)
+    partition specs end-to-end.  State (output dir, plan fingerprint,
+    column list) is bound once per actor in __init__ — the analog of the
+    reference's per-writer schema+buffer state
+    (ExampleWriteSupport.java:14-15) without any cross-partition sharing."""
+
+    def __init__(self, out_dir: str, fp: str, columns: list[str] | None, zstd: bool = True):
+        self.out_dir = out_dir
+        self.fp = fp
+        self.columns = columns
+        self.zstd = zstd
+
+    def encode_one(self, spec: dict) -> dict:
+        pid = int(spec["pid"])
+        if mf.is_complete(self.out_dir, pid, self.fp):
+            man = mf.load_manifest(self.out_dir, pid)
+            m = {k: man["metrics"][k] for k in _METRIC_KEYS}
+            m["resumed"] = True
+            return m
+        t0 = time.monotonic()
+        table = _read_rows(spec["file"], int(spec["row_start"]), int(spec["row_end"]), self.columns)
+        t_read = time.monotonic() - t0
+        t0 = time.monotonic()
+        lineage = {
+            "file": spec["file"],
+            "row_start": int(spec["row_start"]),
+            "row_end": int(spec["row_end"]),
+        }
+        blob = encode_table(table, meta={"pid": pid, "lineage": lineage}, zstd=self.zstd)
+        t_enc = time.monotonic() - t0
+        metrics = {
+            "pid": pid,
+            "rows": table.num_rows,
+            "n_tok": int(spec.get("n_tok", 0)),
+            "bytes_in": int(table.nbytes),
+            "bytes_out": len(blob),
+            "read_s": round(t_read, 4),
+            "encode_s": round(t_enc, 4),
+            "resumed": False,
+        }
+        mf.write_partition(self.out_dir, pid, blob, lineage, metrics, self.fp)
+        return metrics
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self.encode_one(spec) for spec in batch.to_pylist()]
+        return pa.Table.from_pylist(out)
+
+
+def encode_dataset(
+    input_paths: str | list[str],
+    out_dir: str,
+    target_tokens: int = DEFAULT_TARGET_TOKENS,
+    columns: list[str] | None = None,
+    token_col: str | None = "n_tok",
+    concurrency: int | tuple[int, int] | None = None,
+    zstd: bool = True,
+) -> dict:
+    """Plan → encode all partitions (skipping complete ones) → summary.
+
+    Returns {"plan", "metrics": pandas.DataFrame-able list, "out_dir"}.
+    """
+    import ray
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    plan = plan_partitions(input_paths, target_tokens, token_col, columns)
+    mf.atomic_write_json(os.path.join(out_dir, "plan.json"), plan)
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = max(1, min(len(plan["partitions"]), ncpu - 1))
+
+    specs = plan["partitions"]
+    ds = ray.data.from_items(specs)
+    metrics = ds.map_batches(
+        EncodeWorker,
+        fn_constructor_kwargs={
+            "out_dir": out_dir,
+            "fp": plan["fingerprint"],
+            "columns": columns,
+            "zstd": zstd,
+        },
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    ).take_all()  # small: one metrics row per partition
+    return {"plan": plan, "metrics": metrics, "out_dir": out_dir}
+
+
+# ------------------------------------------------------------ decoding ----
+
+
+def decode_dataset(out_dir: str, columns: list[str] | None = None):
+    """Encoded dir → ray.data.Dataset of decoded rows (streaming: one
+    block decodes per task; nothing materializes on the driver)."""
+    import ray.data
+
+    mans = mf.list_manifests(out_dir)
+    if not mans:
+        raise ValueError(f"no manifests under {out_dir}")
+    items = [
+        {"path": os.path.join(out_dir, m["block"]), "pid": m["pid"]} for m in mans
+    ]
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        tables = []
+        for row in batch.to_pylist():
+            with open(row["path"], "rb") as f:
+                t, _ = decode_table(f.read())
+            if columns is not None:
+                t = t.select(columns)
+            tables.append(t)
+        return pa.concat_tables(tables)
+
+    return ray.data.from_items(items).map_batches(
+        _decode, batch_size=1, batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------- streaming form ----
+
+
+def encode_stream(ds, zstd: bool = True, meta_cols: tuple[str, ...] = ("n_tok",)):
+    """Pure Dataset transform: each Arrow block → one row
+    {data: binary blob, rows, n_tok, bytes_in, bytes_out}."""
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        blob = encode_table(batch, zstd=zstd)
+        ntok = 0
+        for c in meta_cols:
+            if c in batch.column_names:
+                ntok = int(pa.compute.sum(batch.column(c)).as_py() or 0)
+        return pa.Table.from_pylist(
+            [
+                {
+                    "data": blob,
+                    "rows": batch.num_rows,
+                    "n_tok": ntok,
+                    "bytes_in": int(batch.nbytes),
+                    "bytes_out": len(blob),
+                }
+            ]
+        )
+
+    return ds.map_batches(_enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decode_stream(ds):
+    """Inverse of encode_stream: rows of {data: blob} → decoded rows."""
+
+    def _dec(batch: pa.Table) -> pa.Table:
+        tables = [decode_table(b.as_py())[0] for b in batch.column("data")]
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(_dec, batch_format="pyarrow")
