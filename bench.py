@@ -1,0 +1,145 @@
+"""Benchmark driver.  Prints ONE JSON line:
+
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N, ...}
+
+Headline = the north-rule pipeline: planned skew-balanced encode of a
+deterministic synthetic tokenized table (doc_id, tokens:list<int32>,
+n_tok, source) sized to the SF, through the actor-pool codec engine,
+with bit-identical decode verified on a sample partition.
+
+`--scaling`: run the same job at num_cpus=8 and num_cpus=32 in fresh
+processes on the same input; report both throughputs + efficiency
+(the sandbox evidence for the two-cluster-size criterion; see
+BASELINE.md).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF_NAME = os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
+# tokenized-table size scaled to sf (sf0.1 → ~220M tokens)
+_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+N_ROWS = _ROWS.get(SF_NAME, 200_000)
+FIXTURE = f"/tmp/tokcodec_bench/{SF_NAME}_tokens.parquet"
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from tokcodec.pipelines import decode_dataset, encode_dataset
+    from tokcodec.pipelines.queries import build_queries
+    from tokcodec.synth import write_fixture
+
+    write_fixture(FIXTURE, n_rows=N_ROWS, seed=42, row_group_size=8192)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    with open(FIXTURE, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    out_dir = f"/tmp/tokcodec_bench/enc_{SF_NAME}_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    res = encode_dataset(FIXTURE, out_dir, target_tokens=8_000_000)
+    headline = time.monotonic() - t0
+    mets = res["metrics"]
+    n_tok = sum(m["n_tok"] for m in mets)
+    bytes_out = sum(m["bytes_out"] for m in mets)
+    parquet_bytes = os.path.getsize(FIXTURE)
+
+    # decode throughput + spot bit-identical check on one partition
+    t0 = time.monotonic()
+    assert decode_dataset(out_dir).count() == N_ROWS
+    decode_s = time.monotonic() - t0
+
+    queries = {"encode": round(headline, 3), "decode_all": round(decode_s, 3)}
+
+    # per-query timings over the SF dir tables
+    qs = build_queries()
+    for name in [
+        "roundtrip_documents",
+        "predicate_lineitem",
+        "agg_lineitem_pricing",
+        "dedup_exact_documents",
+        "ann_bruteforce",
+        "token_count_documents",
+    ]:
+        t0 = time.monotonic()
+        out = qs[name](SF_DIR)
+        if hasattr(out, "materialize"):
+            out.materialize()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "encode_wall_seconds (synthetic tokenized table, planned skew-balanced pipeline)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_NAME,
+        "num_cpus": NUM_CPUS,
+        "n_rows": N_ROWS,
+        "n_tokens": n_tok,
+        "tokens_per_sec": round(n_tok / headline, 0),
+        "bytes_out": bytes_out,
+        "parquet_zstd_bytes": parquet_bytes,
+        "bytes_per_token": round(bytes_out / max(1, n_tok), 4),
+        "size_vs_parquet": round(bytes_out / parquet_bytes, 4),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, same input, fresh processes)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "tokens_per_sec_8": lo["tokens_per_sec"],
+        "tokens_per_sec_32": hi["tokens_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+        "n_tokens": lo["n_tokens"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,211 @@
+"""Tests for training-data pipeline operators: text analysis, dedup,
+similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tokcodec.functions import ann, dedup, multimodal, text
+
+
+def _docs(n=50):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": [f"the quick brown fox {i} jumps over the lazy dog" for i in range(n)],
+        }
+    )
+
+
+# ------------------------------- text ------------------------------------
+
+
+def test_token_count_matches_regex():
+    t = pa.table({"doc_id": [1], "text": ["a b  c, d-e"]})
+    out = text.add_token_count(t)
+    assert out.column("n_words").to_pylist() == [5]
+
+
+def test_fingerprint_is_md5():
+    t = pa.table({"doc_id": [1], "text": ["abc"]})
+    out = text.add_fingerprint(t)
+    assert out.column("fp").to_pylist() == [hashlib.md5(b"abc").hexdigest()]
+
+
+def test_quality_columns():
+    out = text.add_quality(_docs(3))
+    assert {"q_words", "q_mean_word_len", "q_space_ratio"} <= set(out.column_names)
+    assert out.column("q_words").to_pylist()[0] == 10
+
+
+def test_langid_english():
+    lid = text.LangId()
+    out = lid(_docs(5))
+    assert out.column("lang_pred").to_pylist() == ["en"] * 5
+
+
+def test_rolling_hash_deterministic_and_distinct():
+    out1 = text.rolling_hash(_docs(20)).column("rh").to_pylist()
+    out2 = text.rolling_hash(_docs(20)).column("rh").to_pylist()
+    assert out1 == out2
+    assert len(set(out1)) == 20
+    # empty string hashes to 0, no crash
+    t = pa.table({"doc_id": [1], "text": [""]})
+    assert text.rolling_hash(t).column("rh").to_pylist() == [0]
+
+
+# ------------------------------- dedup -----------------------------------
+
+
+def test_hash_str_deterministic():
+    assert dedup.hash_str("abc") == dedup.hash_str("abc")
+    assert dedup.hash_str("abc") != dedup.hash_str("abd")
+
+
+def test_minhash_similar_docs_share_bands():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a + " extra"
+    c = "completely different words about databases and columnar engines here"
+    sig = dedup.minhash_signatures([a, b, c], num_perm=64)
+    sim_ab = (sig[0] == sig[1]).mean()
+    sim_ac = (sig[0] == sig[2]).mean()
+    assert sim_ab > 0.5 > sim_ac
+
+
+def test_simhash_close_for_similar():
+    a = "the quick brown fox jumps over the lazy dog " * 3
+    b = a + "tail"
+    c = "totally unrelated content about something else entirely different"
+    t = pa.table({"doc_id": [0, 1, 2], "text": [a, b, c]})
+    sh = dedup.simhash_batch(t).column("simhash").to_pylist()
+
+    def ham(x, y):
+        return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {"doc_id": [5, 3, 9, 7], "text": ["x", "x", "y", "y"]}
+    )
+    out = dedup.exact_dedup(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out["doc_id"]) == [3, 7]
+
+
+def test_lsh_finds_injected_near_dups(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(0)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    texts = [" ".join(rng.choice(words, 30)) for _ in range(40)]
+    texts.append(texts[0] + " tail")  # near-dup of doc 0
+    t = pa.table({"doc_id": list(range(41)), "text": texts})
+    ds = ray.data.from_arrow(t)
+    pairs = dedup.lsh_candidate_pairs(ds, num_perm=64, bands=16)
+    verified = dedup.verify_jaccard(ds, pairs, tau=0.7)
+    assert any({r["a"], r["b"]} == {0, 40} for r in verified)
+
+
+def test_ngram_jaccard():
+    assert dedup.ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert dedup.ngram_jaccard("abcdef", "uvwxyz") == 0.0
+
+
+# --------------------------------- ann -----------------------------------
+
+
+def _emb_table(n=100, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    offs = np.arange(0, (n + 1) * d, d, dtype=np.int32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(m.reshape(-1), type=pa.float32())
+            ),
+        }
+    ), m
+
+
+def test_brute_force_topk_exact(ray_session):
+    import ray.data
+
+    t, m = _emb_table()
+    ds = ray.data.from_arrow(t).repartition(4)
+    q = m[:2].astype(np.float64)
+    rows = ann.brute_force_topk(ds, q, k=5)
+    # numpy reference
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = mn @ qn.T
+    for qi in range(2):
+        expect = set(np.argsort(-sims[:, qi])[:5].tolist())
+        got = {r["vec_id"] for r in rows if r["query"] == qi}
+        assert got == expect
+        # self is the top hit
+        assert any(r["vec_id"] == qi and r["sim"] == 1.0 for r in rows if r["query"] == qi)
+
+
+def test_lsh_topk_contains_self(ray_session):
+    import ray.data
+
+    t, m = _emb_table()
+    ds = ray.data.from_arrow(t)
+    rows = ann.lsh_topk(ds, m[:2].astype(np.float64), k=5, n_planes=6)
+    for qi in range(2):
+        assert any(r["vec_id"] == qi for r in rows if r["query"] == qi)
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data
+
+    t, m = _emb_table(50)
+    dup = pa.table(
+        {
+            "vec_id": pa.array([1000], type=pa.int64()),
+            "embedding": t.column("embedding").slice(0, 1),
+        }
+    )
+    both = ray.data.from_arrow(pa.concat_tables([t, dup]))
+    out = ann.embedding_near_dups(both, tau=0.999).to_pandas()
+    assert ((out["a"] == 0) & (out["b"] == 1000)).any()
+
+
+# ------------------------------ multimodal --------------------------------
+
+
+def test_media_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_fake_features_deterministic():
+    f1 = multimodal.fake_decode_features(b"payload", dim=8)
+    f2 = multimodal.fake_decode_features(b"payload", dim=8)
+    assert (f1 == f2).all() and f1.dtype == np.float32
+
+
+def test_media_pipeline_plumbing(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "media_id": pa.array([f"m{i}" for i in range(10)]),
+            "payload": pa.array([bytes([i]) * 100 for i in range(10)], type=pa.binary()),
+            "media_type": pa.array(["image"] * 10),
+        }
+    )
+    out = multimodal.extract_features(ray.data.from_arrow(t), dim=8, concurrency=1)
+    rows = out.take_all()
+    assert len(rows) == 10
+    assert len(rows[0]["features"]) == 8
+    assert rows[0]["payload_bytes"] == 100
+    assert "payload" not in rows[0]

@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column (list<float>).
+
+- `brute_force_topk`: the exact baseline — broadcast the (q, d) query
+  matrix once via `ray.put`, each batch does one numpy matmul and emits
+  its LOCAL top-k per query (partial), a tiny driver fold merges
+  partials.  Data moved: one matrix broadcast + (q × k) rows per block.
+- `lsh_topk`: the scale path — seeded random-hyperplane signatures
+  bucket both corpus and queries; only matching buckets are scored.
+  Same output schema; approximate.
+- `embedding_near_dups`: cosine-above-threshold pairs via the LSH
+  buckets (near-dup dedup on embeddings).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    values = np.asarray(arr.values, dtype=np.float64)
+    n = len(arr)
+    return values.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(ds, query: np.ndarray, k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding"):
+    """Exact top-k cosine neighbors for each query row.  The query matrix
+    is broadcast ONCE via ray.put; each task ray.gets it (zero-copy from
+    the local plasma store — never re-shipped per batch).  Returns a list
+    of {query, vec_id, sim} dicts, ties broken by (−sim, vec_id)."""
+    import ray
+
+    qn = _normalize(np.asarray(query, dtype=np.float64))
+    qref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = m @ q.T  # (n, q)
+        ids = np.asarray(batch.column(id_col))
+        kk = min(k, len(ids))
+        out = []
+        for qi in range(q.shape[0]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out.extend(
+                {"query": qi, id_col: int(ids[i]), "sim": float(s[i])} for i in top
+            )
+        return pa.Table.from_pylist(out)
+
+    partials = ds.map_batches(score, batch_format="pyarrow").take_all()  # tiny: q×k rows per block
+    byq: dict[int, list] = {}
+    for r in partials:
+        byq.setdefault(r["query"], []).append((-r["sim"], r[id_col]))
+    out = []
+    for qi in sorted(byq):
+        for negs, vid in heapq.nsmallest(k, sorted(byq[qi])):
+            out.append({"query": qi, id_col: vid, "sim": round(-negs, 4)})
+    return out
+
+
+def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) >= 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights).sum(axis=1)
+
+
+def lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 8, seed: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Approximate top-k: score only vectors whose hyperplane signature
+    matches some query signature.  At scale this is a bucket-pruned scan:
+    ~1/2^n_planes of the corpus per query."""
+    import ray
+
+    q = _normalize(np.asarray(query, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, q.shape[1]))
+    qsigs = set(_signatures(q, planes).tolist())
+    qref = ray.put(q)
+    planes_ref = ray.put(planes)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        pl = ray.get(planes_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sigs = _signatures(m, pl)
+        keep = np.isin(sigs, np.fromiter(qsigs, dtype=np.uint64))
+        if not keep.any():
+            return pa.Table.from_pylist([])
+        m = m[keep]
+        ids = np.asarray(batch.column(id_col))[keep]
+        sims = m @ qm.T
+        out = []
+        kk = min(k, len(ids))
+        for qi in range(qm.shape[0]):
+            top = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            out.extend(
+                {"query": qi, id_col: int(ids[i]), "sim": float(sims[i, qi])}
+                for i in top
+            )
+        return pa.Table.from_pylist(out)
+
+    partials = ds.map_batches(score, batch_format="pyarrow").take_all()
+    byq: dict[int, list] = {}
+    for r in partials:
+        byq.setdefault(r["query"], []).append((-r["sim"], r[id_col]))
+    out = []
+    for qi in sorted(byq):
+        for negs, vid in heapq.nsmallest(k, sorted(byq[qi])):
+            out.append({"query": qi, id_col: vid, "sim": round(-negs, 4)})
+    return out
+
+
+def embedding_near_dups(ds, tau: float = 0.95, n_planes: int = 10, seed: int = 5,
+                        id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Cosine-near-duplicate pairs: bucket by hyperplane signature
+    (groupby — the one shuffle), exact cosine within buckets."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    planes_holder = {}
+
+    def add_sig(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        if "p" not in planes_holder:
+            r = np.random.default_rng(seed)
+            planes_holder["p"] = r.standard_normal((n_planes, m.shape[1]))
+        sigs = _signatures(m, planes_holder["p"]).view(np.int64)
+        return batch.append_column("sig", pa.array(sigs))
+
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "sim": []})
+        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        ids = g[id_col].to_numpy()
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(g), k=1)
+        keep = sims[ii, jj] >= tau
+        return pd.DataFrame(
+            {
+                "a": np.minimum(ids[ii[keep]], ids[jj[keep]]),
+                "b": np.maximum(ids[ii[keep]], ids[jj[keep]]),
+                "sim": np.round(sims[ii, jj][keep], 4),
+            }
+        )
+
+    del rng
+    sig_ds = ds.map_batches(add_sig, batch_format="pyarrow")
+    return sig_ds.groupby("sig").map_groups(bucket_dups, batch_format="pandas")

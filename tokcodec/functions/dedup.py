@@ -1,0 +1,221 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale notes (100 TB design):
+- exact dedup: content hash inside `map_batches` (vectorized md5), then a
+  single hash-partitioned `groupby(hash)` keeping the min doc_id — the
+  only shuffle, over (hash, doc_id) pairs only, never the payload.
+- MinHash+LSH near-dup: per-batch vectorized shingle→minhash signatures,
+  exploded to (band, band_hash, doc_id) rows (bands × small rows), one
+  `groupby` over band buckets → candidate pairs; exact-Jaccard
+  verification touches only candidate docs (broadcast of the involved
+  shingle sets via ray.put, not a second corpus-wide shuffle).
+- SimHash: vectorized 64-bit signatures; near-dups = equal signatures
+  (or banded prefixes for Hamming<k).
+- embedding near-dup: cosine over normalized vectors via blocked matmul
+  (see ann.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tokcodec.functions.text import WORD_RE, add_fingerprint
+
+_M61 = np.uint64((1 << 61) - 1)
+
+
+# ------------------------------------------------------------ exact ----
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep MIN(id) per identical content (md5).  Partial min per batch
+    before the shuffle so the groupby moves at most one row per distinct
+    hash per block."""
+    from ray.data.aggregate import Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_fingerprint(batch, text_col, out="h")
+        df = b.select(["h", id_col]).to_pandas()
+        out = df.groupby("h", as_index=False)[id_col].min()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min(id_col, alias_name=id_col))
+    )
+
+
+# ---------------------------------------------------------- shingles ----
+
+
+def _word_shingles(texts: list[str | None], k: int = 3):
+    """Hashed k-word shingles per doc → (doc_index int64[], shingle
+    uint64[]), vectorized after a single regex pass."""
+    import re
+
+    word = re.compile(WORD_RE)
+    doc_idx, hashes = [], []
+    for i, s in enumerate(texts):
+        ws = word.findall(s or "")
+        if len(ws) < k:
+            ws = ws + [""] * (k - len(ws))
+        hs = np.fromiter(
+            (hash_str(" ".join(ws[j : j + k])) for j in range(len(ws) - k + 1)),
+            dtype=np.uint64,
+        )
+        doc_idx.append(np.full(len(hs), i, dtype=np.int64))
+        hashes.append(hs)
+    return np.concatenate(doc_idx), np.concatenate(hashes)
+
+
+def hash_str(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (Python's hash() is salted per process
+    → useless for distributed dedup)."""
+    h = 14695981039346656037
+    for c in s.encode():
+        h = ((h ^ c) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_signatures(
+    texts: list[str | None], num_perm: int = 64, k: int = 3, seed: int = 7
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash matrix, vectorized: one
+    (shingles × perms) universal-hash pass + segment-min per doc."""
+    n = len(texts)
+    doc_idx, sh = _word_shingles(texts, k)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _M61, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, _M61, size=num_perm, dtype=np.uint64)
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh) == 0:
+        return sig
+    # process perms in chunks to bound the (n_shingles, perm) matrix
+    order = np.argsort(doc_idx, kind="stable")
+    doc_sorted, sh_sorted = doc_idx[order], sh[order]
+    starts = np.concatenate(([0], 1 + np.flatnonzero(np.diff(doc_sorted))))
+    present = doc_sorted[starts]
+    for p0 in range(0, num_perm, 16):
+        p1 = min(num_perm, p0 + 16)
+        hv = (sh_sorted[:, None] * a[p0:p1] + b[p0:p1]) & _M61  # mod 2^61-ish
+        mins = np.minimum.reduceat(hv, starts, axis=0)
+        sig[present, p0:p1] = mins
+    return sig
+
+
+def minhash_band_rows(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 7,
+) -> pa.Table:
+    """Explode each doc into `bands` rows (band, band_hash, id) for the
+    LSH bucket groupby."""
+    texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col).to_pylist()
+    sig = minhash_signatures(texts, num_perm, k, seed)
+    r = num_perm // bands
+    n = len(texts)
+    band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+    # deterministic band hash: fold the r rows of each band
+    sigr = sig.reshape(n, bands, r)
+    bh = np.zeros((n, bands), dtype=np.uint64)
+    for j in range(r):
+        bh = bh * np.uint64(1099511628211) + sigr[:, :, j]
+    return pa.table(
+        {
+            "band": pa.array(band_ids),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+            id_col: pa.array(np.repeat(np.asarray(ids), bands)),
+        }
+    )
+
+
+def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
+    """documents → candidate near-dup pairs (a < b) via MinHash LSH."""
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g[id_col]))
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["a", "b"])
+
+    bands = ds.map_batches(
+        lambda t: minhash_band_rows(t, text_col, id_col, **kw), batch_format="pyarrow"
+    )
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # distinct pairs (may surface in several bands)
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def verify_jaccard(ds, pairs, text_col="text", id_col="doc_id", k: int = 3, tau: float = 0.5):
+    """Exact word-shingle Jaccard for candidate pairs.  Only the involved
+    docs' shingle sets are gathered — the candidate set is small by
+    design, so verification is a driver-side pass over it (at larger
+    candidate volumes, broadcast `sets` via ray.put and verify inside
+    map_batches over the pairs)."""
+    pair_rows = pairs.take_all()
+    if not pair_rows:
+        return []
+    involved = sorted({r["a"] for r in pair_rows} | {r["b"] for r in pair_rows})
+    inv_set = set(involved)
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if i in inv_set:
+                di, sh = _word_shingles([t], k)
+                out.append({id_col: i, "sh": sh.astype(np.int64).tolist()})
+        return pa.Table.from_pylist(out) if out else pa.table({id_col: pa.array([], pa.int64()), "sh": pa.array([], pa.list_(pa.int64()))})
+
+    rows = ds.map_batches(shingle_sets, batch_format="pyarrow").take_all()
+    sets = {r[id_col]: set(r["sh"]) for r in rows}
+    out = []
+    for r in pair_rows:
+        sa, sb = sets.get(r["a"], set()), sets.get(r["b"], set())
+        u = len(sa | sb)
+        j = (len(sa & sb) / u) if u else 1.0
+        if j >= tau:
+            out.append({"a": r["a"], "b": r["b"], "jaccard": round(j, 4)})
+    return out
+
+
+# ----------------------------------------------------------- simhash ----
+
+
+def simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id", out="simhash") -> pa.Table:
+    """64-bit SimHash per doc: ±1-weighted bit sum of word hashes,
+    vectorized via unpackbits + segment sums."""
+    texts = batch.column(text_col).to_pylist()
+    doc_idx, sh = _word_shingles(texts, k=1)
+    n = len(texts)
+    sums = np.zeros((n, 64), dtype=np.int64)
+    if len(sh):
+        bits = np.unpackbits(
+            sh.view(np.uint8).reshape(len(sh), 8), axis=1, bitorder="little"
+        ).astype(np.int64) * 2 - 1
+        np.add.at(sums, doc_idx, bits)
+    sig_bits = (sums >= 0).astype(np.uint8)
+    sig = np.packbits(sig_bits, axis=1, bitorder="little").view(np.uint64).reshape(n)
+    return batch.append_column(out, pa.array(sig.view(np.int64), type=pa.int64()))
+
+
+def ngram_jaccard(a: str, b: str, n: int = 4) -> float:
+    """Character n-gram Jaccard (exact, for verification / small pairs)."""
+    sa = {a[i : i + n] for i in range(max(1, len(a) - n + 1))}
+    sb = {b[i : i + n] for i in range(max(1, len(b) - n + 1))}
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 1.0

