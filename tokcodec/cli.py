@@ -1,0 +1,192 @@
+"""CLI driver — the `ray job submit` entry point for cluster runs.
+
+    python -m tokcodec.cli encode  --input DIR_OR_FILE --out DIR
+        [--target-tokens N] [--columns a,b,c] [--no-zstd] [--num-cpus N]
+    python -m tokcodec.cli decode  --input ENC_DIR --out PARQUET_DIR
+    python -m tokcodec.cli verify  --input SRC --encoded ENC_DIR [--key doc_id]
+    python -m tokcodec.cli plan    --input DIR_OR_FILE [--target-tokens N]
+    python -m tokcodec.cli synth   --out FILE --rows N [--seed S]
+
+This module owns a Ray session (unlike the library); on a cluster,
+`ray job submit -- python -m tokcodec.cli encode ...` picks up the
+cluster address from the environment instead of local mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if ray.is_initialized():
+        return
+    addr = os.environ.get("RAY_ADDRESS", "local")
+    kw = {"include_dashboard": False, "ignore_reinit_error": True,
+          "logging_level": "ERROR"}
+    if addr in ("local", "", None):
+        kw["address"] = "local"
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+    else:
+        kw["address"] = addr
+    ray.init(**kw)
+
+
+def cmd_encode(args) -> int:
+    from tokcodec.pipelines import encode_dataset
+
+    _init_ray(args.num_cpus)
+    columns = args.columns.split(",") if args.columns else None
+    res = encode_dataset(
+        args.input,
+        args.out,
+        target_tokens=args.target_tokens,
+        columns=columns,
+        token_col=args.token_col,
+        zstd=not args.no_zstd,
+    )
+    mets = res["metrics"]
+    summary = {
+        "partitions": len(mets),
+        "resumed": sum(1 for m in mets if m["resumed"]),
+        "rows": sum(m["rows"] for m in mets),
+        "n_tok": sum(m["n_tok"] for m in mets),
+        "bytes_out": sum(m["bytes_out"] for m in mets),
+        "out_dir": res["out_dir"],
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from tokcodec.pipelines import decode_dataset
+
+    _init_ray(args.num_cpus)
+    ds = decode_dataset(args.input)
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": ds.count(), "out": args.out}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    """Round-trip verification: decode and compare against the source,
+    per partition (order-preserving within partitions, so no join/shuffle
+    is needed — lineage row ranges come from the manifests)."""
+    import pyarrow.parquet as pq
+
+    from tokcodec import manifest as mf
+    from tokcodec.blocks import decode_table
+
+    _init_ray(args.num_cpus)
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def check(out_dir: str, man: dict) -> dict:
+        with open(os.path.join(out_dir, man["block"]), "rb") as f:
+            dec, meta = decode_table(f.read())
+        lin = man["lineage"]
+        src = pq.ParquetFile(lin["file"])
+        offs = [0]
+        md = src.metadata
+        for i in range(md.num_row_groups):
+            offs.append(offs[-1] + md.row_group(i).num_rows)
+        rgs = [i for i in range(md.num_row_groups)
+               if offs[i + 1] > lin["row_start"] and offs[i] < lin["row_end"]]
+        ref = src.read_row_groups(rgs, columns=dec.column_names, use_threads=False)
+        ref = ref.slice(lin["row_start"] - offs[rgs[0]], lin["row_end"] - lin["row_start"])
+        return {"pid": man["pid"], "ok": dec.equals(ref), "rows": dec.num_rows}
+
+    mans = mf.list_manifests(args.encoded)
+    if not mans:
+        print(json.dumps({"error": f"no manifests under {args.encoded}"}))
+        return 1
+    results = ray.get([check.remote(args.encoded, m) for m in mans])
+    bad = [r["pid"] for r in results if not r["ok"]]
+    print(json.dumps({"partitions": len(results), "rows": sum(r["rows"] for r in results),
+                      "bit_identical": not bad, "bad_pids": bad}))
+    return 1 if bad else 0
+
+
+def cmd_plan(args) -> int:
+    from tokcodec.pipelines import plan_partitions
+
+    _init_ray(args.num_cpus)
+    plan = plan_partitions(args.input, target_tokens=args.target_tokens,
+                           token_col=args.token_col)
+    masses = [p["n_tok"] for p in plan["partitions"]]
+    print(json.dumps({
+        "fingerprint": plan["fingerprint"],
+        "partitions": len(masses),
+        "min_tokens": min(masses), "max_tokens": max(masses),
+        "total_tokens": sum(masses),
+    }))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from tokcodec.synth import write_fixture
+
+    write_fixture(args.out, n_rows=args.rows, seed=args.seed)
+    print(json.dumps({"out": args.out, "rows": args.rows}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tokcodec")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--num-cpus", type=int, default=None)
+
+    e = sub.add_parser("encode")
+    e.add_argument("--input", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--target-tokens", type=int, default=32_000_000)
+    e.add_argument("--columns", default=None)
+    e.add_argument("--token-col", default="n_tok")
+    e.add_argument("--no-zstd", action="store_true")
+    common(e)
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode")
+    d.add_argument("--input", required=True)
+    d.add_argument("--out", required=True)
+    common(d)
+    d.set_defaults(fn=cmd_decode)
+
+    v = sub.add_parser("verify")
+    v.add_argument("--input", required=False)
+    v.add_argument("--encoded", required=True)
+    common(v)
+    v.set_defaults(fn=cmd_verify)
+
+    pl = sub.add_parser("plan")
+    pl.add_argument("--input", required=True)
+    pl.add_argument("--target-tokens", type=int, default=32_000_000)
+    pl.add_argument("--token-col", default="n_tok")
+    common(pl)
+    pl.set_defaults(fn=cmd_plan)
+
+    s = sub.add_parser("synth")
+    s.add_argument("--out", required=True)
+    s.add_argument("--rows", type=int, default=10000)
+    s.add_argument("--seed", type=int, default=42)
+    common(s)
+    s.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

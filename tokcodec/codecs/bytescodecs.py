@@ -115,20 +115,28 @@ def _dec_dict_bytes(enc: dict) -> pa.Array:
 def encode_bytes_auto(arr: pa.Array, choice: str | None = None) -> dict:
     if choice is not None:
         return encode_bytes(arr, choice)
-    from tokcodec.codecs.fsst import try_fsst
+    from tokcodec.codecs.fsst import table_of, try_fsst
 
     n = len(arr)
-    cands = [_enc_plain_bytes(arr.slice(0, min(n, 4096)))]
-    if n:
-        cands.append(_enc_dict_bytes(arr.slice(0, min(n, 4096)), fsst_values=False))
-        f = try_fsst(arr.slice(0, min(n, 4096)))
-        if f is not None:
-            cands.append(f)
+    if n <= 4096:
+        # small array: the "sample" is the whole array — return the winner
+        cands = [_enc_plain_bytes(arr)]
+        if n:
+            cands.append(_enc_dict_bytes(arr))
+            f = try_fsst(arr)
+            if f is not None:
+                cands.append(f)
+        return min(cands, key=_size)
+    sample = arr.slice(0, 4096)
+    cands = [_enc_plain_bytes(sample), _enc_dict_bytes(sample, fsst_values=False)]
+    fs = try_fsst(sample)
+    if fs is not None:
+        cands.append(fs)
     best = min(cands, key=_size)["c"]
-    enc = encode_bytes(arr, {"pbytes": "plain", "dbytes": "dict", "fsst": "fsst"}[best])
-    if enc is None:  # fsst sampled well but bailed on full data
-        enc = _enc_dict_bytes(arr)
-    return enc
+    if best == "fsst":
+        enc = try_fsst(arr, table=table_of(fs))  # reuse the sample-built table
+        return enc if enc is not None else _enc_dict_bytes(arr)
+    return encode_bytes(arr, {"pbytes": "plain", "dbytes": "dict"}[best])
 
 
 def encode_bytes(arr: pa.Array, codec: str) -> dict | None:

@@ -58,11 +58,15 @@ def _build_table(lengths: np.ndarray, data: np.ndarray) -> list[bytes]:
         b = seq[1:]
         valid = (a >= 0) & (b >= 0)
         keys = a.astype(np.int64) * 1024 + b
-        counts = np.bincount(keys[valid], minlength=1024 * 1024)
-        for bk in banned:
-            counts[bk] = 0
-        best = int(counts.argmax())
-        if counts[best] < 4:
+        uniq, counts = np.unique(keys[valid], return_counts=True)
+        # top unbanned pair (the banned set stays tiny: len>8 rejections)
+        order = np.argsort(counts, kind="stable")[::-1]
+        best, best_cnt = -1, 0
+        for oi in order[: len(banned) + 1]:
+            if int(uniq[oi]) not in banned:
+                best, best_cnt = int(uniq[oi]), int(counts[oi])
+                break
+        if best_cnt < 4:
             break
         ka, kb = best // 1024, best % 1024
         merged = sym_bytes[ka] + sym_bytes[kb]
@@ -118,9 +122,11 @@ def _sym_keys(table: list[bytes]):
     return by_len
 
 
-def try_fsst(arr: pa.Array) -> dict | None:
+def try_fsst(arr: pa.Array, table: list[bytes] | None = None) -> dict | None:
     """Encode a null-free binary/string array with FSST; None when FSST is
-    not applicable (huge strings, empty input, runaway matrix)."""
+    not applicable (huge strings, empty input, runaway matrix).  Pass a
+    pre-built `table` to skip the sample build (codec selection builds it
+    once on the sample and reuses it for the full encode)."""
     from tokcodec.codecs.bytescodecs import _type_name, arr_to_np
 
     n = len(arr)
@@ -134,9 +140,10 @@ def try_fsst(arr: pa.Array) -> dict | None:
     if max_len > MAX_STR_LEN or n * max_len > MAX_MATRIX:
         return None
 
-    # ---- table from a prefix sample
-    take = int(np.searchsorted(np.cumsum(lengths), SAMPLE_BYTES)) + 1
-    table = _build_table(lengths[:take], data[: int(lengths[:take].sum())])
+    # ---- table from a prefix sample (unless supplied)
+    if table is None:
+        take = int(np.searchsorted(np.cumsum(lengths), SAMPLE_BYTES)) + 1
+        table = _build_table(lengths[:take], data[: int(lengths[:take].sum())])
     if not table:
         return None
     S = len(table)
@@ -214,6 +221,16 @@ def try_fsst(arr: pa.Array) -> dict | None:
         [table_blob, stream.tobytes()],
         {"slen": _best_int(slen, allow_delta=False)},
     )
+
+
+def table_of(enc: dict) -> list[bytes]:
+    """Recover the symbol table from an encoded node (for reuse)."""
+    blob = enc["p"][0]
+    out, pos = [], 0
+    for L in enc["m"]["sl"]:
+        out.append(blob[pos : pos + L])
+        pos += L
+    return out
 
 
 # ---------------------------------------------------------------- decode ----

@@ -42,7 +42,17 @@ DEFAULT_TARGET_TOKENS = 32_000_000  # ~64 MB of int32 tokens per partition
 # ------------------------------------------------------------- planning ----
 
 
-def _file_token_plan(path: str, target_tokens: int, token_col: str | None) -> list[dict]:
+def _ntok_chunk(path: str, rg_lo: int, rg_hi: int, token_col: str) -> np.ndarray:
+    """Token-mass array for row groups [rg_lo, rg_hi) of one file — the
+    unit of the parallel 'stats pass' (reads ONE small column)."""
+    f = pq.ParquetFile(path)
+    t = f.read_row_groups(list(range(rg_lo, rg_hi)), columns=[token_col], use_threads=False)
+    return np.abs(t.column(0).to_numpy(zero_copy_only=False).astype(np.int64))
+
+
+def _file_token_plan(
+    path: str, target_tokens: int, token_col: str | None, mass: np.ndarray | None = None
+) -> list[dict]:
     """Split one parquet file into row ranges of ~target token mass.
 
     Reads only the token-count column (or just row counts when absent) —
@@ -53,12 +63,12 @@ def _file_token_plan(path: str, target_tokens: int, token_col: str | None) -> li
     n_rows = f.metadata.num_rows
     if n_rows == 0:
         return []
-    if token_col is not None and token_col in f.schema_arrow.names:
-        ntok = f.read(columns=[token_col]).column(0).combine_chunks()
-        mass = np.abs(ntok.to_numpy(zero_copy_only=False).astype(np.int64))
-    else:
-        mass = np.ones(n_rows, dtype=np.int64)
-        target_tokens = max(1, min(target_tokens, 1_000_000))
+    if mass is None:
+        if token_col is not None and token_col in f.schema_arrow.names:
+            mass = _ntok_chunk(path, 0, f.metadata.num_row_groups, token_col)
+        else:
+            mass = np.ones(n_rows, dtype=np.int64)
+            target_tokens = max(1, min(target_tokens, 1_000_000))
     cum = np.cumsum(mass)
     total = int(cum[-1])
     n_parts = max(1, round(total / target_tokens))
@@ -111,11 +121,28 @@ def plan_partitions(
 
     import ray
 
-    if parallel and ray.is_initialized() and len(files) > 1:
-        plan_task = ray.remote(num_cpus=1)(_file_token_plan)
-        per_file = ray.get(
-            [plan_task.remote(p, target_tokens, token_col) for p in files]
-        )
+    if parallel and ray.is_initialized():
+        # distributed stats pass: one task per ~64 row groups per file
+        chunk_task = ray.remote(num_cpus=1)(_ntok_chunk)
+        jobs: list[tuple[int, object]] = []
+        metas = []
+        for fi, p in enumerate(files):
+            f = pq.ParquetFile(p)
+            metas.append(f)
+            if token_col is not None and token_col in f.schema_arrow.names:
+                n_rg = f.metadata.num_row_groups
+                step = 64
+                for lo in range(0, n_rg, step):
+                    jobs.append((fi, chunk_task.remote(p, lo, min(n_rg, lo + step), token_col)))
+        masses: dict[int, list] = {}
+        if jobs:
+            results = ray.get([j[1] for j in jobs])
+            for (fi, _), m in zip(jobs, results):
+                masses.setdefault(fi, []).append(m)
+        per_file = []
+        for fi, p in enumerate(files):
+            mass = np.concatenate(masses[fi]) if fi in masses else None
+            per_file.append(_file_token_plan(p, target_tokens, token_col, mass=mass))
     else:
         per_file = [_file_token_plan(p, target_tokens, token_col) for p in files]
 
@@ -209,6 +236,11 @@ class EncodeWorker:
         return pa.Table.from_pylist(out)
 
 
+def _encode_specs(batch: pa.Table, out_dir: str, fp: str, columns, zstd: bool) -> pa.Table:
+    w = EncodeWorker(out_dir, fp, columns, zstd)
+    return w(batch)
+
+
 def encode_dataset(
     input_paths: str | list[str],
     out_dir: str,
@@ -217,10 +249,18 @@ def encode_dataset(
     token_col: str | None = "n_tok",
     concurrency: int | tuple[int, int] | None = None,
     zstd: bool = True,
+    compute: str = "tasks",
 ) -> dict:
     """Plan → encode all partitions (skipping complete ones) → summary.
 
-    Returns {"plan", "metrics": pandas.DataFrame-able list, "out_dir"}.
+    compute="tasks" (default): plain map_batches tasks — the encoder's
+    only cross-batch state is its config (dictionaries / FSST symbol
+    tables are per-partition and travel inside each block), so tasks
+    reuse Ray's warm worker pool instead of paying actor-pool spin-up
+    per run.  compute="actors" keeps the stateful actor-pool form for
+    deployments that add per-actor state (e.g. a codec-plan cache).
+
+    Returns {"plan", "metrics": list of per-partition dicts, "out_dir"}.
     """
     import ray
     import ray.data
@@ -229,25 +269,32 @@ def encode_dataset(
     plan = plan_partitions(input_paths, target_tokens, token_col, columns)
     mf.atomic_write_json(os.path.join(out_dir, "plan.json"), plan)
 
-    if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = max(1, min(len(plan["partitions"]), ncpu - 1))
-
     specs = plan["partitions"]
     ds = ray.data.from_items(specs)
-    metrics = ds.map_batches(
-        EncodeWorker,
-        fn_constructor_kwargs={
-            "out_dir": out_dir,
-            "fp": plan["fingerprint"],
-            "columns": columns,
-            "zstd": zstd,
-        },
-        batch_size=1,
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    ).take_all()  # small: one metrics row per partition
+    kw = dict(batch_size=1, batch_format="pyarrow", num_cpus=1)
+    if compute == "actors":
+        if concurrency is None:
+            ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+            concurrency = max(1, min(len(specs), ncpu - 1))
+        out = ds.map_batches(
+            EncodeWorker,
+            fn_constructor_kwargs={
+                "out_dir": out_dir, "fp": plan["fingerprint"],
+                "columns": columns, "zstd": zstd,
+            },
+            concurrency=concurrency,
+            **kw,
+        )
+    else:
+        out = ds.map_batches(
+            _encode_specs,
+            fn_kwargs={
+                "out_dir": out_dir, "fp": plan["fingerprint"],
+                "columns": columns, "zstd": zstd,
+            },
+            **kw,
+        )
+    metrics = out.take_all()  # small: one metrics row per partition
     return {"plan": plan, "metrics": metrics, "out_dir": out_dir}
 
 

@@ -1,0 +1,106 @@
+"""Reader with schema/field projection options — the analog of the
+reference's `ExampleParquetReader` builder + `ExampleReadSupport`
+resolution (SURVEY.md §2 #14, #18).
+
+Option precedence mirrors ExampleReadSupport.init
+(ExampleReadSupport.java:32-53): explicit Schema > explicit field set >
+job-config schema JSON > job-config field list > stored file schema.
+Schema and fields are mutually exclusive (the builder Preconditions at
+ExampleParquetReader.java:42,48); unmatched projected fields fail fast
+(ExampleReadSupport.java:76-90); the evolution matrix is applied at
+decode time (ParquetExampleTest.scala:263-326 semantics via
+Schema.read_table)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from tokcodec.schema import Schema
+
+
+class TokbReader:
+    """Builder-style reader over an encoded TOKB directory."""
+
+    def __init__(self, out_dir: str, config: dict | None = None):
+        self.out_dir = out_dir
+        self._schema: Schema | None = None
+        self._fields: list[str] | None = None
+        # "job conf" analog: plain dict with the reference's two keys
+        self._config = config or {}
+
+    def with_schema(self, schema: Schema) -> "TokbReader":
+        if self._fields is not None:
+            raise ValueError("schema and fields are mutually exclusive")
+        self._schema = schema
+        return self
+
+    def with_fields(self, fields: list[str]) -> "TokbReader":
+        if self._schema is not None:
+            raise ValueError("schema and fields are mutually exclusive")
+        self._fields = list(fields)
+        return self
+
+    # -------------------------------------------------------- resolution --
+    def _file_schema(self) -> Schema:
+        import os
+
+        from tokcodec import manifest as mf
+        from tokcodec.blocks import read_header
+
+        mans = mf.list_manifests(self.out_dir)
+        if not mans:
+            raise ValueError(f"no manifests under {self.out_dir}")
+        # footer-style metadata read: header only, no row decode (§2 #15)
+        from tokcodec.blocks import MAGIC
+
+        with open(os.path.join(self.out_dir, mans[0]["block"]), "rb") as f:
+            prefix = f.read(len(MAGIC) + 8)
+            hlen = int.from_bytes(prefix[len(MAGIC) :], "little")
+            header = read_header(prefix + f.read(hlen))
+        import base64
+
+        arrow = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(header["schema"])))
+        return Schema.from_arrow(arrow)
+
+    def resolve_schema(self) -> tuple[Schema, Schema]:
+        """→ (file_schema, read_schema) after precedence + validation."""
+        file_schema = self._file_schema()
+        if self._schema is not None:
+            read_schema = self._schema
+        elif self._fields is not None:
+            read_schema = file_schema.project(self._fields)
+        elif "schema" in self._config:
+            read_schema = Schema.from_json(self._config["schema"])
+        elif "fields" in self._config:
+            read_schema = file_schema.project(list(self._config["fields"]))
+        else:
+            read_schema = file_schema
+        file_schema.check_read_compat(read_schema)
+        return file_schema, read_schema
+
+    # ----------------------------------------------------------- reading --
+    def dataset(self):
+        """ray.data.Dataset of decoded rows under the resolved read
+        schema (evolution rules applied per batch, vectorized)."""
+        from tokcodec.pipelines.encode import decode_dataset
+
+        _, read_schema = self.resolve_schema()
+        ds = decode_dataset(self.out_dir)
+        return ds.map_batches(
+            lambda t: read_schema.read_table(t), batch_format="pyarrow"
+        )
+
+    def schema(self) -> Schema:
+        """Footer-only schema recovery (ExampleParquetReader.getSchema,
+        ExampleParquetReader.java:65-71): no row data is decoded."""
+        return self._file_schema()
+
+
+def read_decoded(out_dir: str, schema: Schema | None = None,
+                 fields: list[str] | None = None, config: dict | None = None):
+    r = TokbReader(out_dir, config=config)
+    if schema is not None:
+        r = r.with_schema(schema)
+    if fields is not None:
+        r = r.with_fields(fields)
+    return r.dataset()
