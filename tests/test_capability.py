@@ -164,6 +164,18 @@ def test_implicit_boolean():
     assert (~col("boolean_field").true_()).filter_table(t).num_rows == 2
 
 
+def test_operand_flipping():
+    """`10 < col` normalizes via Python reflected dunders — the analog of
+    the reference's gt/lt flip (Predicate.scala:98-112)."""
+    t = _flat_table()
+    assert (20 < col("long_field")).filter_table(t).num_rows == 3  # noqa: SIM300
+    assert (20 >= col("long_field")).filter_table(t).num_rows == 2  # noqa: SIM300
+    # flipped == unflipped
+    a = (30 > col("long_field")).filter_table(t)
+    b = (col("long_field") < 30).filter_table(t)
+    assert a.num_rows == b.num_rows == 2
+
+
 def test_type_coercion_int_literal_to_float_column():
     t = _flat_table()
     # int literal against float column (PredicateTest.scala:102-134)

@@ -47,6 +47,8 @@ def pack(vals: np.ndarray, bits: int) -> bytes:
     if bits > 64:
         raise ValueError(f"bits must be <= 64, got {bits}")
     dt = _narrow_uint(bits)
+    if bits == 8 * dt.itemsize:  # byte-aligned width: plain narrow cast
+        return np.ascontiguousarray(vals.astype(dt, copy=False)).tobytes()
     v = vals.astype(dt, copy=False)
     nb = dt.itemsize
     out = []
@@ -66,8 +68,10 @@ def unpack(buf: bytes, bits: int, n: int, dtype=np.uint64) -> np.ndarray:
     the narrow uint dtype; all C-speed."""
     if bits == 0 or n == 0:
         return np.zeros(n, dtype=dtype)
-    raw = np.frombuffer(buf, dtype=np.uint8)
     dt = _narrow_uint(bits)
+    if bits == 8 * dt.itemsize:  # byte-aligned width: zero-copy view
+        return np.frombuffer(buf, dtype=dt)[:n].astype(dtype, copy=False)
+    raw = np.frombuffer(buf, dtype=np.uint8)
     nb = dt.itemsize
     out = np.empty(n, dtype=dt)
     bytes_per_chunk = _CHUNK * bits // 8

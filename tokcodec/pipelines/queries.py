@@ -208,6 +208,102 @@ def agg_events_by_type(sf_dir: str):
     )
 
 
+# ------------------------------------------------ relational patterns ----
+
+
+def topk_documents(sf_dir: str):
+    """sort + limit (top-k): deterministic tie-break on doc_id."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def distinct_langs(sf_dir: str):
+    vals = _rp(sf_dir, "documents", columns=["lang"]).unique("lang")
+    return pa.table({"lang": pa.array(sorted(vals), type=pa.string())})
+
+
+def window_events(sf_dir: str):
+    """Tumbling 1h event-time window per event_type — the batch form of a
+    streaming windowed aggregate (ray_guide 'Streaming-shaped workloads')."""
+    from ray.data.aggregate import Count
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts"])
+
+    def add_win(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
+        win = pc.floor(pc.divide(pc.cast(epoch, pa.float64()), 3600.0))
+        return batch.append_column("win", pc.cast(win, pa.int64())).drop_columns(["ts"])
+
+    return (
+        ds.map_batches(add_win, batch_format="pyarrow")
+        .groupby(["event_type", "win"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def sessionize_events(sf_dir: str):
+    """Gap-based sessionization (30 min) per user: groupby(user).map_groups
+    over ts-sorted groups — the stateful-stream pattern with an exact SQL
+    window-function oracle."""
+    import pandas as pd
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff().dt.total_seconds().fillna(0) > 1800
+        g["session_id"] = gap.cumsum().astype("int64")
+        out = (
+            g.groupby("session_id", as_index=False)
+            .agg(n_events=("ts", "size"))
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_id", "n_events"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def join_lineitem_orders(sf_dir: str):
+    """Broadcast hash join: the small side (orders key→priority) is
+    ray.put ONCE and read per task from local plasma — no shuffle; then a
+    partial pre-aggregate per batch before the tiny groupby."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    lookup = dict(
+        zip(
+            orders.column("o_orderkey").to_pylist(),
+            orders.column("o_orderpriority").to_pylist(),
+        )
+    )
+    ref = ray.put(lookup)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lk = ray.get(ref)
+        keys = batch.column("l_orderkey").to_numpy()
+        prios = pd.Series(keys).map(lk)
+        counts = prios.value_counts()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(counts.index.astype(str)),
+                "n": pa.array(counts.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 # ------------------------------------------------------------- dedup ----
 
 
@@ -365,6 +461,11 @@ def build_queries() -> dict:
         "docs_stats_by_lang": docs_stats_by_lang,
         "agg_lineitem_pricing": agg_lineitem_pricing,
         "agg_events_by_type": agg_events_by_type,
+        "topk_documents": topk_documents,
+        "distinct_langs": distinct_langs,
+        "window_events": window_events,
+        "sessionize_events": sessionize_events,
+        "join_lineitem_orders": join_lineitem_orders,
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_simhash_documents": dedup_simhash_documents,
@@ -428,6 +529,28 @@ def build_oracle_sql() -> dict:
         "agg_events_by_type": (
             "SELECT event_type, COUNT(*) AS n, MAX(value) AS max_value, "
             "MIN(value) AS min_value FROM events GROUP BY event_type"
+        ),
+        "topk_documents": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "window_events": (
+            "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win, "
+            "COUNT(*) AS n FROM events GROUP BY event_type, win"
+        ),
+        "sessionize_events": (
+            "WITH gaps AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+            "FROM events), sess AS (SELECT user_id, "
+            "SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM gaps) "
+            "SELECT user_id, session_id, COUNT(*) AS n_events FROM sess "
+            "GROUP BY user_id, session_id"
+        ),
+        "join_lineitem_orders": (
+            "SELECT o_orderpriority, COUNT(*) AS n FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
         ),
         "dedup_exact_documents": (
             "SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
