@@ -1,0 +1,44 @@
+"""CLI surface tests (in-process; the session fixture owns Ray and the
+CLI must not shut it down)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from tokcodec.cli import main
+
+
+def _run(capsys, *argv) -> dict:
+    rc = main(list(argv))
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0, out
+    return json.loads(out)
+
+
+def test_cli_end_to_end(ray_session, fixture_parquet, tmp_path, capsys):
+    enc = str(tmp_path / "enc")
+    res = _run(capsys, "encode", "--input", fixture_parquet, "--out", enc,
+               "--target-tokens", "2000000")
+    assert res["rows"] == 5000 and res["partitions"] >= 2
+
+    res = _run(capsys, "plan", "--input", fixture_parquet,
+               "--target-tokens", "2000000")
+    assert res["partitions"] >= 2 and res["max_tokens"] < 4_000_000
+
+    res = _run(capsys, "verify", "--encoded", enc)
+    assert res["bit_identical"] is True
+
+    dec = str(tmp_path / "dec")
+    res = _run(capsys, "decode", "--input", enc, "--out", dec)
+    assert res["rows"] == 5000 and os.listdir(dec)
+
+    import ray
+
+    assert ray.is_initialized()  # CLI must not kill the caller's session
+
+
+def test_cli_verify_empty_dir_fails(ray_session, tmp_path, capsys):
+    rc = main(["verify", "--encoded", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert rc == 1 and "no manifests" in out

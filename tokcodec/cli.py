@@ -20,11 +20,16 @@ import os
 import sys
 
 
+_OWNS_RAY = False
+
+
 def _init_ray(num_cpus: int | None):
+    global _OWNS_RAY
     import ray
 
     if ray.is_initialized():
         return
+    _OWNS_RAY = True
     addr = os.environ.get("RAY_ADDRESS", "local")
     kw = {"include_dashboard": False, "ignore_reinit_error": True,
           "logging_level": "ERROR"}
@@ -183,8 +188,8 @@ def main(argv=None) -> int:
     rc = args.fn(args)
     import ray
 
-    if ray.is_initialized():
-        ray.shutdown()
+    if _OWNS_RAY and ray.is_initialized():
+        ray.shutdown()  # only the session we started ourselves
     return rc
 
 

@@ -50,6 +50,51 @@ def make_table(
     )
 
 
+def write_fixture_dir(
+    dir_path: str,
+    n_rows: int,
+    seed: int = 42,
+    row_group_size: int = 8192,
+    heavy_tail: bool = True,
+    chunk_rows: int = 200_000,
+) -> str:
+    """Multi-file fixture: one parquet file per chunk, generated in
+    parallel Ray tasks when a session is active (serial fallback gives
+    byte-identical files).  Complete iff `_SUCCESS` exists."""
+    done = os.path.join(dir_path, "_SUCCESS")
+    if os.path.exists(done):
+        return dir_path
+    os.makedirs(dir_path, exist_ok=True)
+    jobs = []
+    for i, off in enumerate(range(0, n_rows, chunk_rows)):
+        n = min(chunk_rows, n_rows - off)
+        jobs.append((os.path.join(dir_path, f"chunk-{i:03d}.parquet"), n, seed + i, off))
+
+    def _one(path, n, s, off):
+        if not os.path.exists(path):
+            t = make_table(n, seed=s, heavy_tail=heavy_tail, id_offset=off)
+            tmp = path + ".tmp"
+            pq.write_table(t, tmp, compression="zstd", row_group_size=row_group_size)
+            os.rename(tmp, path)
+        return path
+
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(jobs) > 1
+    except ImportError:
+        use_ray = False
+    if use_ray:
+        task = ray.remote(num_cpus=1)(_one)
+        ray.get([task.remote(*j) for j in jobs])
+    else:
+        for j in jobs:
+            _one(*j)
+    with open(done, "w") as f:
+        f.write("ok")
+    return dir_path
+
+
 def write_fixture(
     path: str,
     n_rows: int,
