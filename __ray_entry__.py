@@ -12,8 +12,51 @@ here (nor in tokcodec) calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _register_by_value() -> None:
+    """Ray workers spawned by a driver whose cwd/PYTHONPATH don't include
+    this repo can't `import tokcodec`; registering the package for
+    cloudpickle by-value serialization ships the code inside each task
+    instead (test-scale only — a cluster deployment installs the
+    package or uses runtime_env py_modules)."""
+    try:
+        import tokcodec  # noqa: F401
+        import tokcodec.pipelines.queries  # pull in the full module graph
+
+        picklers = []
+        try:
+            from ray import cloudpickle as ray_cp  # what Ray serializes with
+
+            picklers.append(ray_cp)
+        except ImportError:
+            pass
+        try:
+            import cloudpickle
+
+            picklers.append(cloudpickle)
+        except ImportError:
+            pass
+        for name, mod in list(sys.modules.items()):
+            if name == "tokcodec" or name.startswith("tokcodec."):
+                for cp in picklers:
+                    try:
+                        cp.register_pickle_by_value(mod)
+                    except Exception:
+                        pass
+    except Exception:
+        pass
+
+
+_register_by_value()
 
 
 def entry() -> Any:

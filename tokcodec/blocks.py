@@ -31,10 +31,11 @@ from tokcodec.codecs import (
     encode_int_auto,
 )
 from tokcodec.codecs.intcodecs import _node
+from tokcodec.codecs.util import zstd_lazy
 
 MAGIC = b"TOKB1\x00"
 _ZSTD_MIN = 128  # don't bother compressing tiny segments
-_zstd = pa.Codec("zstd")
+_zstd_lazy = zstd_lazy
 
 _INT_TYPES = {
     pa.int8(),
@@ -234,7 +235,7 @@ def encode_table(table: pa.Table, meta: dict | None = None, zstd: bool = True) -
     for p in segments:
         raw = 0
         if zstd and len(p) >= _ZSTD_MIN:
-            c = _zstd.compress(p, asbytes=True)
+            c = _zstd_lazy.get().compress(p, asbytes=True)
             if len(c) < len(p) * 0.98:
                 raw = len(p)
                 p = c
@@ -271,7 +272,7 @@ def decode_table(blob: bytes) -> tuple[pa.Table, dict]:
         s = segs[i]
         raw = blob[base + s["o"] : base + s["o"] + s["l"]]
         if s["raw"]:
-            raw = _zstd.decompress(raw, decompressed_size=s["raw"], asbytes=True)
+            raw = _zstd_lazy.get().decompress(raw, decompressed_size=s["raw"], asbytes=True)
         return raw
 
     schema = pa.ipc.read_schema(

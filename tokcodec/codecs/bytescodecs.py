@@ -11,55 +11,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from tokcodec.codecs.fsst import decode_fsst, table_of, try_fsst
 from tokcodec.codecs.intcodecs import _best_int, _node, _size, decode_int
+from tokcodec.codecs.util import _PA_TYPES, arr_to_np, np_to_arr, type_name
 
-_PA_TYPES = {
-    "string": pa.string(),
-    "binary": pa.binary(),
-    "large_string": pa.large_string(),
-    "large_binary": pa.large_binary(),
-}
+_type_name = type_name  # back-compat alias
 
 # FSST is worthwhile on short-ish strings; guard against pathological
 # per-string loop counts on huge documents (SURVEY.md §7 hard parts).
 FSST_MAX_AVG_LEN = 512
-
-
-def arr_to_np(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(lengths int64[n], data uint8[total]) for a null-free binary-ish array."""
-    if arr.null_count:
-        raise ValueError("bytes codecs expect null-free input")
-    t = arr.type
-    if t in (pa.large_string(), pa.large_binary()):
-        off_dt = np.int64
-    else:
-        off_dt = np.int32
-    bufs = arr.buffers()
-    off = np.frombuffer(bufs[1], dtype=off_dt)[arr.offset : arr.offset + len(arr) + 1]
-    data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]] if len(off) else np.empty(0, np.uint8)
-    lengths = np.diff(off).astype(np.int64)
-    return lengths, data
-
-
-def np_to_arr(lengths: np.ndarray, data: np.ndarray, pa_type_name: str) -> pa.Array:
-    t = _PA_TYPES[pa_type_name]
-    large = pa_type_name.startswith("large")
-    off_dt = np.int64 if large else np.int32
-    offsets = np.empty(len(lengths) + 1, dtype=np.int64)
-    offsets[0] = 0
-    np.cumsum(lengths, out=offsets[1:])
-    return pa.Array.from_buffers(
-        t,
-        len(lengths),
-        [None, pa.py_buffer(offsets.astype(off_dt, copy=False)), pa.py_buffer(data)],
-    )
-
-
-def _type_name(t: pa.DataType) -> str:
-    for name, typ in _PA_TYPES.items():
-        if t == typ:
-            return name
-    raise ValueError(f"unsupported bytes type {t}")
 
 
 # ---------------------------------------------------------------- plain ----
@@ -69,7 +29,7 @@ def _enc_plain_bytes(arr: pa.Array) -> dict:
     lengths, data = arr_to_np(arr)
     return _node(
         "pbytes",
-        {"pa": _type_name(arr.type), "n": len(arr)},
+        {"pa": type_name(arr.type), "n": len(arr)},
         [data.tobytes()],
         {"len": _best_int(lengths, allow_delta=False)},
     )
@@ -90,14 +50,12 @@ def _enc_dict_bytes(arr: pa.Array, fsst_values: bool = True) -> dict:
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     uvals = d.dictionary
     # encode the (usually small) unique-value blob; FSST it when it helps
-    from tokcodec.codecs.fsst import try_fsst
-
     venc = try_fsst(uvals) if fsst_values else None
     if venc is None:
         venc = _enc_plain_bytes(uvals)
     return _node(
         "dbytes",
-        {"pa": _type_name(arr.type), "n": len(arr)},
+        {"pa": type_name(arr.type), "n": len(arr)},
         k={"codes": _best_int(codes, allow_dict=False), "uvals": venc},
     )
 
@@ -115,8 +73,6 @@ def _dec_dict_bytes(enc: dict) -> pa.Array:
 def encode_bytes_auto(arr: pa.Array, choice: str | None = None) -> dict:
     if choice is not None:
         return encode_bytes(arr, choice)
-    from tokcodec.codecs.fsst import table_of, try_fsst
-
     n = len(arr)
     if n <= 4096:
         # small array: the "sample" is the whole array — return the winner
@@ -145,8 +101,6 @@ def encode_bytes(arr: pa.Array, codec: str) -> dict | None:
     if codec == "dict":
         return _enc_dict_bytes(arr)
     if codec == "fsst":
-        from tokcodec.codecs.fsst import try_fsst
-
         return try_fsst(arr)
     raise KeyError(codec)
 
@@ -157,7 +111,5 @@ def decode_bytes(enc: dict) -> pa.Array:
     if enc["c"] == "dbytes":
         return _dec_dict_bytes(enc)
     if enc["c"] == "fsst":
-        from tokcodec.codecs.fsst import decode_fsst
-
         return decode_fsst(enc)
     raise KeyError(enc["c"])

@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from tokcodec.codecs.intcodecs import _best_int, _node, decode_int
+from tokcodec.codecs.util import arr_to_np, np_to_arr, type_name
 
 ESCAPE = 255
 MAX_SYMBOLS = 255  # codes 0..254
@@ -127,8 +128,6 @@ def try_fsst(arr: pa.Array, table: list[bytes] | None = None) -> dict | None:
     not applicable (huge strings, empty input, runaway matrix).  Pass a
     pre-built `table` to skip the sample build (codec selection builds it
     once on the sample and reuses it for the full encode)."""
-    from tokcodec.codecs.bytescodecs import _type_name, arr_to_np
-
     n = len(arr)
     if n == 0:
         return None
@@ -213,7 +212,7 @@ def try_fsst(arr: pa.Array, table: list[bytes] | None = None) -> dict | None:
     return _node(
         "fsst",
         {
-            "pa": _type_name(arr.type),
+            "pa": type_name(arr.type),
             "n": n,
             "s": S,
             "sl": [int(x) for x in sym_lens],
@@ -237,8 +236,6 @@ def table_of(enc: dict) -> list[bytes]:
 
 
 def decode_fsst(enc: dict) -> pa.Array:
-    from tokcodec.codecs.bytescodecs import np_to_arr
-
     m = enc["m"]
     n = m["n"]
     sym_lens = np.array(m["sl"], dtype=np.int64)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 
 from tokcodec.codecs import bitpack
+from tokcodec.codecs.util import zstd_lazy
 
 # Deterministic contiguous sample size used for codec selection.  A strided
 # sample would destroy runs and bias against RLE, so we take a prefix.
@@ -195,19 +196,12 @@ def _size(enc: dict) -> int:
     return total
 
 
-_zstd1 = None
-
-
 def _est_z(enc: dict) -> float:
     """Estimated *post-container* size: the container zstd-compresses each
     payload, so codec selection must score compressed bytes, not raw bytes
     (bp+zstd routinely beats dict pre-zstd).  Large payloads are estimated
     from a compressed prefix."""
-    global _zstd1
-    if _zstd1 is None:
-        import pyarrow as pa
-
-        _zstd1 = pa.Codec("zstd")
+    _zstd1 = zstd_lazy.get()
     total = 0.0
     for p in enc["p"]:
         n = len(p)
