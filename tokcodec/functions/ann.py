@@ -122,6 +122,70 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 8, seed: int = 
     return out
 
 
+def ivf_build(ds, k: int = 16, sample_rows: int = 4096, iters: int = 10,
+              seed: int = 11, vec_col: str = "embedding") -> np.ndarray:
+    """Train IVF centroids: k-means on a bounded sample (driver-side numpy —
+    the sample is small by construction), deterministic given seed."""
+    sample = ds.limit(sample_rows).take_all()
+    m = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample]))
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(ds, centroids: np.ndarray, query: np.ndarray, k: int = 10,
+             n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF search: per batch, score only vectors whose nearest centroid is
+    among each query's n_probe closest centroids.  At 100 TB the corpus
+    would be *pre-partitioned by centroid* (one groupby at build time) so
+    probing reads only matching partitions; here the pruning is
+    compute-side within the single streaming scan."""
+    import ray
+
+    q = _normalize(np.asarray(query, dtype=np.float64))
+    probes = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    cref = ray.put(centroids)
+    qref = ray.put(q)
+    pref = ray.put(probes)
+
+    def score(batch: pa.Table) -> pa.Table:
+        cents, qm, prb = ray.get(cref), ray.get(qref), ray.get(pref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = np.asarray(batch.column(id_col))
+        assign = (m @ cents.T).argmax(axis=1)
+        out = []
+        for qi in range(qm.shape[0]):
+            keep = np.isin(assign, prb[qi])
+            if not keep.any():
+                continue
+            sims = m[keep] @ qm[qi]
+            kk = min(k, keep.sum())
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            kept_ids = ids[keep]
+            out.extend(
+                {"query": qi, id_col: int(kept_ids[i]), "sim": float(sims[i])}
+                for i in top
+            )
+        return pa.Table.from_pylist(out)
+
+    partials = ds.map_batches(score, batch_format="pyarrow").take_all()
+    byq: dict[int, list] = {}
+    for r in partials:
+        byq.setdefault(r["query"], []).append((-r["sim"], r[id_col]))
+    out = []
+    for qi in sorted(byq):
+        for negs, vid in heapq.nsmallest(k, sorted(byq[qi])):
+            out.append({"query": qi, id_col: vid, "sim": round(-negs, 4)})
+    return out
+
+
 def embedding_near_dups(ds, tau: float = 0.95, n_planes: int = 10, seed: int = 5,
                         id_col: str = "vec_id", vec_col: str = "embedding"):
     """Cosine-near-duplicate pairs: bucket by hyperplane signature

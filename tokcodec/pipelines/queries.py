@@ -377,6 +377,17 @@ def ann_lsh(sf_dir: str):
     )
 
 
+def ann_ivf(sf_dir: str):
+    ds = _rp(sf_dir, "embeddings")
+    cents = ann.ivf_build(ds, k=16)
+    q = _query_matrix(sf_dir, n=3)
+    rows = ann.ivf_topk(ds, cents, q, k=5, n_probe=6)
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"query": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
+
+
 def embedding_dups(sf_dir: str):
     import ray.data
 
@@ -471,6 +482,7 @@ def build_queries() -> dict:
         "dedup_simhash_documents": dedup_simhash_documents,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
         "embedding_dups": embedding_dups,
         "multimodal_meta_documents": multimodal_meta_documents,
         "multimodal_features": multimodal_features,
