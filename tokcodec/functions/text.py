@@ -85,6 +85,51 @@ class LangId:
         return batch.append_column(self.out, pa.array(preds, type=pa.string()))
 
 
+VOCAB = 50257
+
+
+def tokenize(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
+             source_col: str = "source") -> pa.Table:
+    """documents → the north-rule tokenized table (doc_id:string,
+    tokens:list<int32>, n_tok:int32, source:string).
+
+    Deterministic hash-vocabulary 'BPE-ish' tokenizer: words via the
+    shared WORD_RE (so `n_tok` is oracle-checkable as
+    len(regexp_extract_all(text, WORD_RE)) in DuckDB), token id =
+    FNV-1a(word) % VOCAB.  One vectorized regex pass per batch; the
+    per-word hash loop runs over the (much smaller) word list."""
+    import re
+
+    word_re = re.compile(WORD_RE)
+    texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col)
+    srcs = batch.column(source_col) if source_col in batch.column_names else pa.array(
+        ["unknown"] * batch.num_rows
+    )
+    all_tokens: list[np.ndarray] = []
+    lengths = np.empty(len(texts), dtype=np.int32)
+    from tokcodec.functions.dedup import hash_str
+
+    for i, s in enumerate(texts):
+        words = word_re.findall(s or "")
+        toks = np.fromiter(
+            (hash_str(w) % VOCAB for w in words), dtype=np.int32, count=len(words)
+        )
+        all_tokens.append(toks)
+        lengths[i] = len(toks)
+    flat = np.concatenate(all_tokens) if all_tokens else np.empty(0, np.int32)
+    offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
+    tok_arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.int32()))
+    return pa.table(
+        {
+            "doc_id": pc.cast(ids, pa.string()),
+            "tokens": tok_arr,
+            "n_tok": pa.array(lengths, type=pa.int32()),
+            "source": pc.cast(srcs, pa.string()),
+        }
+    )
+
+
 def rolling_hash(batch: pa.Table, text_col: str = "text", out: str = "rh") -> pa.Table:
     """64-bit polynomial rolling hash of the whole text, vectorized over
     the concatenated byte buffer (one Horner pass per power-of-two step)."""

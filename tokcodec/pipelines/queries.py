@@ -54,6 +54,26 @@ def encode_stats(table: str = "documents"):
     return run
 
 
+def tokenize_roundtrip_documents(sf_dir: str):
+    """The full north-rule pipeline on real testdata: tokenize documents
+    into (doc_id, tokens, n_tok, source) → columnar encode → decode →
+    report (doc_id, n_tok).  Oracle-checkable because the tokenizer's
+    word rule matches DuckDB's regexp_extract_all, so a value-identical
+    n_tok after the round trip proves the encode/decode chain."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    tok = ds.map_batches(text.tokenize, batch_format="pyarrow")
+    dec = decode_stream(encode_stream(tok))
+    return dec.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # -------------------------------------------------- capability surface ----
 
 
@@ -457,6 +477,7 @@ def build_queries() -> dict:
              "l_extendedprice", "l_returnflag", "l_shipdate"],
         ),
         "roundtrip_embeddings": roundtrip("embeddings", ["vec_id", "embedding", "label"]),
+        "tokenize_roundtrip_documents": tokenize_roundtrip_documents,
         "projection_documents": projection_documents,
         "predicate_lineitem": predicate_lineitem,
         "predicate_or_events": predicate_or_events,
@@ -499,6 +520,10 @@ def build_oracle_sql() -> dict:
             "l_extendedprice, l_returnflag, l_shipdate FROM lineitem"
         ),
         "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
+        "tokenize_roundtrip_documents": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+            " AS n_tok FROM documents"
+        ),
         "projection_documents": "SELECT doc_id, lang FROM documents",
         "predicate_lineitem": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem "
