@@ -324,6 +324,41 @@ def join_lineitem_orders(sf_dir: str):
     )
 
 
+def having_orders(sf_dir: str):
+    """GROUP BY + HAVING: aggregate then vectorized post-filter."""
+    from ray.data.aggregate import Count
+
+    ds = _rp(sf_dir, "orders", columns=["o_custkey"])
+    agg = ds.groupby("o_custkey").aggregate(Count(alias_name="n"))
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), 5)), batch_format="pyarrow"
+    )
+
+
+def antijoin_customers(sf_dir: str):
+    """Anti join via broadcast key set: customers with no orders.  The
+    order-key set is ray.put once and the filter runs vectorized per
+    batch (pc.is_in) — the semi/anti-join pattern without a shuffle."""
+    import pyarrow.parquet as pq
+    import ray
+
+    keys = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    urgent = keys.filter(pc.equal(keys.column("o_orderpriority"), "1-URGENT"))
+    key_arr = pc.unique(urgent.column("o_custkey").combine_chunks())
+    ref = ray.put(key_arr)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = pc.invert(pc.is_in(batch.column("c_custkey"), value_set=ks))
+        return batch.filter(mask)
+
+    return _rp(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+
+
 # ------------------------------------------------------------- dedup ----
 
 
@@ -498,6 +533,8 @@ def build_queries() -> dict:
         "window_events": window_events,
         "sessionize_events": sessionize_events,
         "join_lineitem_orders": join_lineitem_orders,
+        "having_orders": having_orders,
+        "antijoin_customers": antijoin_customers,
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_simhash_documents": dedup_simhash_documents,
@@ -588,6 +625,14 @@ def build_oracle_sql() -> dict:
         "join_lineitem_orders": (
             "SELECT o_orderpriority, COUNT(*) AS n FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+        ),
+        "having_orders": (
+            "SELECT o_custkey, COUNT(*) AS n FROM orders "
+            "GROUP BY o_custkey HAVING COUNT(*) > 5"
+        ),
+        "antijoin_customers": (
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
         ),
         "dedup_exact_documents": (
             "SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
