@@ -262,7 +262,10 @@ def read_header(blob: bytes) -> dict:
     return json.loads(blob[len(MAGIC) + 8 : len(MAGIC) + 8 + hlen].decode())
 
 
-def decode_table(blob: bytes) -> tuple[pa.Table, dict]:
+def decode_table(blob: bytes, columns: list[str] | None = None) -> tuple[pa.Table, dict]:
+    """Decode a block; with `columns`, only those columns' codec trees
+    are decoded (column-chunk pruning — untouched columns cost nothing,
+    their payload bytes are never read)."""
     header = read_header(blob)
     hlen = int.from_bytes(blob[len(MAGIC) : len(MAGIC) + 8], "little")
     base = len(MAGIC) + 8 + hlen
@@ -278,8 +281,15 @@ def decode_table(blob: bytes) -> tuple[pa.Table, dict]:
     schema = pa.ipc.read_schema(
         pa.py_buffer(base64.b64decode(header["schema"]))
     )
-    arrays = []
+    if columns is not None:
+        missing = set(columns) - {c["name"] for c in header["columns"]}
+        if missing:
+            raise ValueError(f"Invalid fields: {sorted(missing)}")
+    arrays, fields = [], []
     for colspec in header["columns"]:
-        t = schema.field(colspec["name"]).type
-        arrays.append(decode_array(_unflatten(colspec["enc"], get_seg), t))
-    return pa.Table.from_arrays(arrays, schema=schema), header["meta"]
+        if columns is not None and colspec["name"] not in columns:
+            continue
+        f = schema.field(colspec["name"])
+        arrays.append(decode_array(_unflatten(colspec["enc"], get_seg), f.type))
+        fields.append(f)
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields)), header["meta"]

@@ -69,12 +69,18 @@ def cmd_encode(args) -> int:
 
 
 def cmd_decode(args) -> int:
+    from tokcodec import manifest as mf
     from tokcodec.pipelines import decode_dataset
 
     _init_ray(args.num_cpus)
     ds = decode_dataset(args.input)
     ds.write_parquet(args.out)
-    print(json.dumps({"rows": ds.count(), "out": args.out}))
+    # row count from manifests — ds.count() would re-run the whole decode
+    rows = sum(
+        m.get("metrics", {}).get("rows", m.get("rows", 0))
+        for m in mf.list_manifests(args.input)
+    )
+    print(json.dumps({"rows": rows, "out": args.out}))
     return 0
 
 

@@ -53,6 +53,8 @@ def _enc_bitpack(arr: np.ndarray) -> dict | None:
 
 def _dec_bitpack(enc: dict) -> np.ndarray:
     m = enc["m"]
+    if m["n"] == 0:
+        return np.empty(0, dtype=np.dtype(m["dt"]))
     return bitpack.unpack(enc["p"][0], m["b"], m["n"], dtype=np.dtype(m["dt"]))
 
 
@@ -75,6 +77,8 @@ def _enc_for(arr: np.ndarray) -> dict:
 
 def _dec_for(enc: dict) -> np.ndarray:
     m = enc["m"]
+    if m["n"] == 0:
+        return np.empty(0, dtype=np.dtype(m["dt"]))
     deltas = bitpack.unpack(enc["p"][0], m["b"], m["n"], dtype=np.uint64)
     vals = deltas.view(np.int64) + np.int64(m["ref"])
     return vals.astype(np.dtype(m["dt"]), copy=False)
@@ -230,10 +234,12 @@ def _best_int(
             # cardinality grows with n; sampled dict estimates are biased low
             cands = [fn for fn in cands if fn is not _enc_dict]
         scored = []
-        for enc_fn in cands:
+        for ci, enc_fn in enumerate(cands):
             e = enc_fn(sample)
             if e is not None:
-                scored.append((_est_z(e), id(enc_fn), enc_fn))
+                # tie-break on candidate ORDER (deterministic across
+                # processes — id() would break byte-identical resume)
+                scored.append((_est_z(e), ci, enc_fn))
         scored.sort(key=lambda t: (t[0], t[1]))
         best_fn = scored[0][2]
         best = best_fn(arr)

@@ -19,6 +19,13 @@ import numpy as np
 import pyarrow as pa
 
 
+def _empty_topk(id_col: str) -> pa.Table:
+    return pa.table(
+        {"query": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
+
+
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
@@ -45,6 +52,8 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10, id_col: str = "vec_id",
     qref = ray.put(qn)
 
     def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk(id_col)
         q = ray.get(qref)
         m = _normalize(_batch_matrix(batch, vec_col))
         sims = m @ q.T  # (n, q)
@@ -91,6 +100,8 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 8, seed: int = 
     planes_ref = ray.put(planes)
 
     def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk(id_col)
         qm = ray.get(qref)
         pl = ray.get(planes_ref)
         m = _normalize(_batch_matrix(batch, vec_col))
@@ -156,6 +167,8 @@ def ivf_topk(ds, centroids: np.ndarray, query: np.ndarray, k: int = 10,
     pref = ray.put(probes)
 
     def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk(id_col)
         cents, qm, prb = ray.get(cref), ray.get(qref), ray.get(pref)
         m = _normalize(_batch_matrix(batch, vec_col))
         ids = np.asarray(batch.column(id_col))

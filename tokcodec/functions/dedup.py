@@ -56,6 +56,8 @@ def _word_shingles(texts: list[str | None], k: int = 3):
     uint64[]), vectorized after a single regex pass."""
     import re
 
+    if not texts:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
     word = re.compile(WORD_RE)
     doc_idx, hashes = [], []
     for i, s in enumerate(texts):
@@ -174,20 +176,27 @@ def verify_jaccard(ds, pairs, text_col="text", id_col="doc_id", k: int = 3, tau:
     def shingle_sets(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
+        id_type = batch.schema.field(id_col).type
         out = []
         for i, t in zip(ids, texts):
             if i in inv_set:
-                di, sh = _word_shingles([t], k)
+                _, sh = _word_shingles([t], k)
                 out.append({id_col: i, "sh": sh.astype(np.int64).tolist()})
-        return pa.Table.from_pylist(out) if out else pa.table({id_col: pa.array([], pa.int64()), "sh": pa.array([], pa.list_(pa.int64()))})
+        # empty fallback keeps the batch's own id type so Ray's schema
+        # unification doesn't see int64-vs-string conflicts
+        return pa.Table.from_pylist(out) if out else pa.table(
+            {id_col: pa.array([], id_type), "sh": pa.array([], pa.list_(pa.int64()))}
+        )
 
     rows = ds.map_batches(shingle_sets, batch_format="pyarrow").take_all()
     sets = {r[id_col]: set(r["sh"]) for r in rows}
     out = []
     for r in pair_rows:
-        sa, sb = sets.get(r["a"], set()), sets.get(r["b"], set())
+        if r["a"] not in sets or r["b"] not in sets:
+            continue  # doc text not found: no evidence, never a dup claim
+        sa, sb = sets[r["a"]], sets[r["b"]]
         u = len(sa | sb)
-        j = (len(sa & sb) / u) if u else 1.0
+        j = (len(sa & sb) / u) if u else 0.0
         if j >= tau:
             out.append({"a": r["a"], "b": r["b"], "jaccard": round(j, 4)})
     return out

@@ -309,17 +309,20 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None):
     mans = mf.list_manifests(out_dir)
     if not mans:
         raise ValueError(f"no manifests under {out_dir}")
+    # 'pid' exists on planned-path manifests; TokbDatasink manifests are
+    # positional — both layouts decode fine
     items = [
-        {"path": os.path.join(out_dir, m["block"]), "pid": m["pid"]} for m in mans
+        {"path": os.path.join(out_dir, m["block"]), "pid": m.get("pid", i)}
+        for i, m in enumerate(mans)
     ]
 
     def _decode(batch: pa.Table) -> pa.Table:
         tables = []
         for row in batch.to_pylist():
             with open(row["path"], "rb") as f:
-                t, _ = decode_table(f.read())
-            if columns is not None:
-                t = t.select(columns)
+                # column pruning pushes into the block decode: unrequested
+                # columns' payloads are never decompressed
+                t, _ = decode_table(f.read(), columns=columns)
             tables.append(t)
         return pa.concat_tables(tables)
 

@@ -42,9 +42,8 @@ def resolve_path(schema_or_type, dotted: str) -> pa.DataType:
         if idx < 0:
             raise ValueError(f"Invalid field: {dotted}")
         t = t.field(idx).type
-    while pa.types.is_list(t) or pa.types.is_large_list(t):
-        # a path ending on an array projects the element type
-        return t
+    # a path ending on an array resolves to the list type itself; element
+    # projection happens structurally in project_schema
     return t
 
 
@@ -115,7 +114,13 @@ class Projection:
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
                 values = rebuild(arr.values, t.value_type)
-                return type(arr).from_arrays(arr.offsets, values)
+                out = type(arr).from_arrays(arr.offsets, values)
+                if arr.null_count:
+                    # from_arrays drops validity; restore null list slots
+                    out = pa.compute.if_else(
+                        pa.compute.is_null(arr), pa.nulls(len(arr), out.type), out
+                    )
+                return out
             if pa.types.is_struct(t):
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()

@@ -81,11 +81,16 @@ class TokbReader:
     # ----------------------------------------------------------- reading --
     def dataset(self):
         """ray.data.Dataset of decoded rows under the resolved read
-        schema (evolution rules applied per batch, vectorized)."""
+        schema (evolution rules applied per batch, vectorized).  Only the
+        requested columns that exist in the file are decoded — the
+        projection pushes down into block decode (the reference's
+        column-chunk pruning role, ExampleReadSupport.java:76-90)."""
         from tokcodec.pipelines.encode import decode_dataset
 
-        _, read_schema = self.resolve_schema()
-        ds = decode_dataset(self.out_dir)
+        file_schema, read_schema = self.resolve_schema()
+        file_names = {f.name for f in file_schema.fields}
+        wanted = [f.name for f in read_schema.fields if f.name in file_names]
+        ds = decode_dataset(self.out_dir, columns=wanted or None)
         return ds.map_batches(
             lambda t: read_schema.read_table(t), batch_format="pyarrow"
         )
