@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from tokcodec.functions.hashing import hash_str
 from tokcodec.functions.text import WORD_RE, add_fingerprint
 
 _M61 = np.uint64((1 << 61) - 1)
@@ -71,15 +72,6 @@ def _word_shingles(texts: list[str | None], k: int = 3):
         doc_idx.append(np.full(len(hs), i, dtype=np.int64))
         hashes.append(hs)
     return np.concatenate(doc_idx), np.concatenate(hashes)
-
-
-def hash_str(s: str) -> int:
-    """Deterministic 64-bit FNV-1a (Python's hash() is salted per process
-    → useless for distributed dedup)."""
-    h = 14695981039346656037
-    for c in s.encode():
-        h = ((h ^ c) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-    return h
 
 
 def minhash_signatures(

@@ -14,6 +14,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from tokcodec.functions.hashing import hash_str
+
 WORD_RE = r"[A-Za-z0-9]+"  # identical semantics in pyarrow (RE2) and DuckDB
 
 
@@ -108,8 +110,6 @@ def tokenize(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
     )
     all_tokens: list[np.ndarray] = []
     lengths = np.empty(len(texts), dtype=np.int32)
-    from tokcodec.functions.dedup import hash_str
-
     for i, s in enumerate(texts):
         words = word_re.findall(s or "")
         toks = np.fromiter(
