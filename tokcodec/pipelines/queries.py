@@ -250,9 +250,15 @@ def window_events(sf_dir: str):
     ds = _rp(sf_dir, "events", columns=["event_type", "ts"])
 
     def add_win(batch: pa.Table) -> pa.Table:
-        epoch = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
-        win = pc.floor(pc.divide(pc.cast(epoch, pa.float64()), 3600.0))
-        return batch.append_column("win", pc.cast(win, pa.int64())).drop_columns(["ts"])
+        # exact integer floor division (numpy // floors toward -inf) so
+        # pre-1970 timestamps agree with DuckDB's floor(epoch(ts)/3600)
+        mic = batch.column("ts").cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        win = mic // 3_600_000_000
+        return batch.append_column(
+            "win", pa.array(win, type=pa.int64())
+        ).drop_columns(["ts"])
 
     return (
         ds.map_batches(add_win, batch_format="pyarrow")
@@ -270,7 +276,7 @@ def sessionize_events(sf_dir: str):
     ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+        g = g.sort_values("ts", kind="stable")
         gap = g["ts"].diff().dt.total_seconds().fillna(0) > 1800
         g["session_id"] = gap.cumsum().astype("int64")
         out = (
@@ -283,10 +289,17 @@ def sessionize_events(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+# broadcast-join small-side guard: above this the build side no longer
+# fits comfortably in one task's heap and a shuffle join is the right plan
+_BROADCAST_MAX_ROWS = 50_000_000
+
+
 def join_lineitem_orders(sf_dir: str):
-    """Broadcast hash join: the small side (orders key→priority) is
-    ray.put ONCE and read per task from local plasma — no shuffle; then a
-    partial pre-aggregate per batch before the tiny groupby."""
+    """Broadcast hash join: the small side (orders key→priority) is two
+    Arrow arrays ray.put ONCE and read per task zero-copy from local
+    plasma — no shuffle; the probe is pc.index_in + pc.take (no Python
+    dict), then a partial pre-aggregate per batch before the tiny
+    groupby."""
     import pyarrow.parquet as pq
     import ray
     from ray.data.aggregate import Sum
@@ -294,25 +307,26 @@ def join_lineitem_orders(sf_dir: str):
     orders = pq.read_table(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    lookup = dict(
-        zip(
-            orders.column("o_orderkey").to_pylist(),
-            orders.column("o_orderpriority").to_pylist(),
+    if orders.num_rows > _BROADCAST_MAX_ROWS:
+        raise ValueError(
+            f"broadcast side has {orders.num_rows} rows > {_BROADCAST_MAX_ROWS}; "
+            "use a hash-partitioned shuffle join instead"
         )
-    )
-    ref = ray.put(lookup)
+    key_arr = orders.column("o_orderkey").combine_chunks()
+    prio_arr = orders.column("o_orderpriority").combine_chunks()
+    ref = ray.put((key_arr, prio_arr))
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        lk = ray.get(ref)
-        keys = batch.column("l_orderkey").to_numpy()
-        prios = pd.Series(keys).map(lk)
-        counts = prios.value_counts()
+        keys, prios = ray.get(ref)
+        idx = pc.index_in(batch.column("l_orderkey"), value_set=keys)
+        hit = pc.take(prios, idx)  # null where no matching order (inner join drops)
+        counts = pc.value_counts(hit.combine_chunks())
+        vals, ns = counts.field("values"), counts.field("counts")
+        keep = pc.is_valid(vals)
         return pa.table(
             {
-                "o_orderpriority": pa.array(counts.index.astype(str)),
-                "n": pa.array(counts.to_numpy(), type=pa.int64()),
+                "o_orderpriority": vals.filter(keep).cast(pa.string()),
+                "n": ns.filter(keep).cast(pa.int64()),
             }
         )
 
@@ -591,7 +605,9 @@ def build_oracle_sql() -> dict:
             " AS q_words FROM documents"
         ),
         "docs_stats_by_lang": (
-            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+            # CAST: DuckDB SUM(BIGINT) yields HUGEINT which the driver
+            # hashes as float64; Ray returns int64 — keep dtypes aligned
+            "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang"
         ),
         "agg_lineitem_pricing": (
@@ -617,8 +633,8 @@ def build_oracle_sql() -> dict:
             "WITH gaps AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
             "FROM events), sess AS (SELECT user_id, "
-            "SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "
-            "ROWS UNBOUNDED PRECEDING) AS session_id FROM gaps) "
+            "CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM gaps) "
             "SELECT user_id, session_id, COUNT(*) AS n_events FROM sess "
             "GROUP BY user_id, session_id"
         ),
