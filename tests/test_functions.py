@@ -9,7 +9,7 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
-from tokcodec.functions import ann, dedup, multimodal, text
+from tokcodec.functions import ann, dedup, hashing, multimodal, text
 
 
 def _docs(n=50):
@@ -62,8 +62,8 @@ def test_rolling_hash_deterministic_and_distinct():
 
 
 def test_hash_str_deterministic():
-    assert dedup.hash_str("abc") == dedup.hash_str("abc")
-    assert dedup.hash_str("abc") != dedup.hash_str("abd")
+    assert hashing.hash_str("abc") == hashing.hash_str("abc")
+    assert hashing.hash_str("abc") != hashing.hash_str("abd")
 
 
 def test_minhash_similar_docs_share_bands():
@@ -226,3 +226,88 @@ def test_media_pipeline_plumbing(ray_session):
     assert len(rows[0]["features"]) == 8
     assert rows[0]["payload_bytes"] == 100
     assert "payload" not in rows[0]
+
+
+# ------------------------- vectorized FNV/tokenize value-identity pins ----
+
+
+def _scalar_tokenize_ref(s: str | None) -> list[int]:
+    import re
+
+    return [
+        hashing.hash_str(w) % text.VOCAB
+        for w in re.findall(text.WORD_RE, s or "")
+    ]
+
+
+def test_fnv1a_batch_matches_scalar():
+    rng = np.random.default_rng(3)
+    strs = ["", "a", "hello", "Hello World 123", "x" * 300] + [
+        "".join(chr(rng.integers(33, 127)) for _ in range(rng.integers(0, 40)))
+        for _ in range(200)
+    ]
+    got = hashing.fnv1a_batch(pa.array(strs))
+    want = np.array([hashing.hash_str(s) for s in strs], dtype=np.uint64)
+    assert (got == want).all()
+
+
+def test_fnv1a_batch_nulls_hash_as_empty():
+    got = hashing.fnv1a_batch(pa.array(["a", None, ""], type=pa.string()))
+    assert got[1] == got[2] == hashing.hash_str("")
+
+
+def test_tokenize_token_ids_match_scalar_reference():
+    texts = [
+        "hello world foo", "", None, "  a  b ", "über café 42x", "one",
+        "tail", "9start end9", "éé", "a" * 500, "mixed☃snow1 two",
+        "abc", "def", "", "ghi",  # adjacent alnum-edge docs (boundary split)
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(["s"] * len(texts)),
+        }
+    )
+    out = text.tokenize(batch)
+    for i, s in enumerate(texts):
+        ref = _scalar_tokenize_ref(s)
+        assert out.column("tokens")[i].as_py() == ref, (i, s)
+        assert out.column("n_tok")[i].as_py() == len(ref)
+
+
+def test_tokenize_fuzz_matches_scalar_reference():
+    rng = np.random.default_rng(11)
+    alpha = list("abc XY9 .,!?\n\té☃-_0")
+    fuzz = ["".join(rng.choice(alpha, size=rng.integers(0, 200))) for _ in range(200)]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(fuzz)), pa.int64()),
+            "text": pa.array(fuzz),
+            "source": pa.array(["s"] * len(fuzz)),
+        }
+    )
+    out = text.tokenize(batch)
+    for i, s in enumerate(fuzz):
+        assert out.column("tokens")[i].as_py() == _scalar_tokenize_ref(s), repr(s)
+
+
+def test_word_shingles_match_scalar_reference():
+    import re
+
+    def old_shingles(texts, k):
+        di, hs = [], []
+        for i, s in enumerate(texts):
+            ws = re.findall(text.WORD_RE, s or "")
+            if len(ws) < k:
+                ws = ws + [""] * (k - len(ws))
+            for j in range(len(ws) - k + 1):
+                di.append(i)
+                hs.append(hashing.hash_str(" ".join(ws[j : j + k])))
+        return di, hs
+
+    tx = ["a b c d e", "", None, "one two", "x", "lorem ipsum dolor sit amet"]
+    for k in (1, 2, 3, 5):
+        di, hs = dedup._word_shingles(tx, k)
+        odi, ohs = old_shingles(tx, k)
+        assert sorted(zip(di.tolist(), hs.tolist())) == sorted(zip(odi, ohs)), k

@@ -21,8 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from tokcodec.functions.hashing import hash_str
-from tokcodec.functions.text import WORD_RE, add_fingerprint
+from tokcodec.functions.hashing import fnv1a_batch
+from tokcodec.functions.text import add_fingerprint, split_words
 
 _M61 = np.uint64((1 << 61) - 1)
 
@@ -54,24 +54,45 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def _word_shingles(texts: list[str | None], k: int = 3):
     """Hashed k-word shingles per doc → (doc_index int64[], shingle
-    uint64[]), vectorized after a single regex pass."""
-    import re
+    uint64[]).  Fully vectorized: one RE2 split pass → flat word array,
+    shingle strings via element-wise joins of k shifted slices, one
+    batched FNV pass (values identical to hash_str(' '.join(words[j:j+k]));
+    docs with fewer than k words get one ''-padded shingle, as before)."""
+    import pyarrow.compute as pc
 
     if not texts:
         return np.empty(0, np.int64), np.empty(0, np.uint64)
-    word = re.compile(WORD_RE)
-    doc_idx, hashes = [], []
-    for i, s in enumerate(texts):
-        ws = word.findall(s or "")
-        if len(ws) < k:
-            ws = ws + [""] * (k - len(ws))
-        hs = np.fromiter(
-            (hash_str(" ".join(ws[j : j + k])) for j in range(len(ws) - k + 1)),
-            dtype=np.uint64,
+    arr = pa.array([t if t is not None else "" for t in texts], type=pa.string())
+    words, doc_idx, n = split_words(arr)
+    N = len(words)
+    if N >= k:
+        if k == 1:
+            joined, valid = words, np.ones(N, dtype=bool)
+        else:
+            valid = doc_idx[: N - k + 1] == doc_idx[k - 1 :]
+            joined = pc.binary_join_element_wise(
+                *[words.slice(j, N - k + 1) for j in range(k)],
+                pa.scalar(" ", type=words.type),
+            ).filter(pa.array(valid))
+        sh_doc = doc_idx[: N - k + 1][valid] if k > 1 else doc_idx
+        hashes = fnv1a_batch(joined)
+    else:
+        sh_doc = np.empty(0, np.int64)
+        hashes = np.empty(0, np.uint64)
+    counts = np.bincount(doc_idx, minlength=n)
+    short = np.flatnonzero(counts < k)
+    if len(short):
+        starts = np.searchsorted(doc_idx, short, side="left")
+        ends = np.searchsorted(doc_idx, short, side="right")
+        padded = []
+        for s0, e0 in zip(starts, ends):
+            ws = [words[j].as_py() for j in range(s0, e0)]
+            padded.append(" ".join(ws + [""] * (k - len(ws))))
+        sh_doc = np.concatenate([sh_doc, short.astype(np.int64)])
+        hashes = np.concatenate(
+            [hashes, fnv1a_batch(pa.array(padded, type=pa.string()))]
         )
-        doc_idx.append(np.full(len(hs), i, dtype=np.int64))
-        hashes.append(hs)
-    return np.concatenate(doc_idx), np.concatenate(hashes)
+    return sh_doc, hashes
 
 
 def minhash_signatures(

@@ -14,9 +14,91 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from tokcodec.functions.hashing import hash_str
+from tokcodec.functions.hashing import fnv1a_batch, fnv1a_spans
 
 WORD_RE = r"[A-Za-z0-9]+"  # identical semantics in pyarrow (RE2) and DuckDB
+NONWORD_RE = r"[^A-Za-z0-9]+"  # split form: split + drop empties == findall
+
+
+# byte-class lookup: [A-Za-z0-9] is ASCII-only in both RE2 and DuckDB's
+# regex engine, and UTF-8 continuation bytes are all >= 0x80, so a byte
+# LUT over the raw UTF-8 buffer yields exactly the regex word runs
+_WORD_LUT = np.zeros(256, dtype=bool)
+for _r in (range(48, 58), range(65, 91), range(97, 123)):
+    _WORD_LUT[list(_r)] = True
+
+
+def word_spans(
+    texts: pa.Array | pa.ChunkedArray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Vectorized word extraction with NO string materialization:
+    (byte buffer, word starts, word lengths, doc index per word, n_docs).
+    Word runs are found by a byte-class LUT over the flat UTF-8 buffer —
+    equivalent to per-doc ``re.findall(WORD_RE, s)``; runs touching a doc
+    boundary are split there."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    t = pc.fill_null(texts, "") if texts.null_count else texts
+    b = t.cast(pa.large_binary())
+    bufs = b.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64)[b.offset : b.offset + len(b) + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    if len(data) == 0:
+        z = np.empty(0, np.int64)
+        return data, z, z, z, n
+    w = _WORD_LUT[data]
+    # run boundaries from one boolean-XOR pass (runs alternate, so the
+    # split into starts/ends is determined by w[0]/w[-1])
+    t = np.flatnonzero(w[1:] != w[:-1]) + 1
+    if w[0]:
+        starts = np.concatenate(([0], t[1::2]))
+        ends = t[0::2]
+    else:
+        starts = t[0::2]
+        ends = t[1::2]
+    if w[-1]:
+        ends = np.concatenate((ends, [len(w)]))
+    # a run spanning a doc boundary must break there (docs are independent)
+    doc_off = off[1:-1]
+    if len(doc_off):
+        ok = (doc_off > 0) & (doc_off < len(w))
+        inside = np.unique(
+            doc_off[ok & w[np.minimum(doc_off, len(w) - 1)] & w[doc_off - 1]]
+        )
+        if len(inside):
+            starts = np.sort(np.concatenate([starts, inside]))
+            ends = np.sort(np.concatenate([ends, inside]))
+    doc_idx = np.searchsorted(off, starts, side="right") - 1
+    return data, starts, ends - starts, doc_idx, n
+
+
+def split_words(
+    texts: pa.Array | pa.ChunkedArray,
+) -> tuple[pa.Array, np.ndarray, int]:
+    """Vectorized word extraction: (flat word array, doc index per word,
+    n_docs).  Equivalent to per-doc ``re.findall(WORD_RE, s)``."""
+    data, starts, lengths, doc_idx, n = word_spans(texts)
+    total = int(lengths.sum())
+    out_off = np.empty(len(starts) + 1, dtype=np.int64)
+    out_off[0] = 0
+    np.cumsum(lengths, out=out_off[1:])
+    # compact gather: each word's bytes into one contiguous buffer
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_off[:-1], lengths)
+        + np.repeat(starts, lengths)
+    )
+    flat = pa.Array.from_buffers(
+        pa.large_utf8(),
+        len(starts),
+        [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(data[idx].tobytes())],
+    )
+    return flat, doc_idx, n
 
 
 def add_token_count(batch: pa.Table, text_col: str = "text", out: str = "n_words") -> pa.Table:
@@ -98,26 +180,16 @@ def tokenize(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
     Deterministic hash-vocabulary 'BPE-ish' tokenizer: words via the
     shared WORD_RE (so `n_tok` is oracle-checkable as
     len(regexp_extract_all(text, WORD_RE)) in DuckDB), token id =
-    FNV-1a(word) % VOCAB.  One vectorized regex pass per batch; the
-    per-word hash loop runs over the (much smaller) word list."""
-    import re
-
-    word_re = re.compile(WORD_RE)
-    texts = batch.column(text_col).to_pylist()
+    FNV-1a(word) % VOCAB.  Fully vectorized: one RE2 split pass + one
+    batched FNV pass over the flat word buffer — no per-row Python
+    (values identical to the scalar hash_str(word) % VOCAB)."""
     ids = batch.column(id_col)
     srcs = batch.column(source_col) if source_col in batch.column_names else pa.array(
         ["unknown"] * batch.num_rows
     )
-    all_tokens: list[np.ndarray] = []
-    lengths = np.empty(len(texts), dtype=np.int32)
-    for i, s in enumerate(texts):
-        words = word_re.findall(s or "")
-        toks = np.fromiter(
-            (hash_str(w) % VOCAB for w in words), dtype=np.int32, count=len(words)
-        )
-        all_tokens.append(toks)
-        lengths[i] = len(toks)
-    flat = np.concatenate(all_tokens) if all_tokens else np.empty(0, np.int32)
+    data, starts, lengths_b, doc_idx, n = word_spans(batch.column(text_col))
+    flat = (fnv1a_spans(data, starts, lengths_b) % np.uint64(VOCAB)).astype(np.int32)
+    lengths = np.bincount(doc_idx, minlength=n).astype(np.int32)
     offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
     tok_arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.int32()))
     return pa.table(
