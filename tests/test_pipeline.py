@@ -138,3 +138,34 @@ def test_stream_round_trip(ray_session, fixture_parquet):
     assert dec.count() == pq.read_metadata(fixture_parquet).num_rows
     total_out = sum(r["bytes_out"] for r in enc.take_all())
     assert total_out <= os.path.getsize(fixture_parquet) * 1.2
+
+
+def test_parallel_plan_identical_to_serial(ray_session, tmp_path):
+    """The two-wave distributed stats pass (scalar totals + exact cut
+    rows; O(partitions) driver memory) must produce partitions
+    bit-identical to the serial full-cumsum plan, across multiple files
+    with different row-group layouts."""
+    from tokcodec.synth import write_fixture
+
+    d = tmp_path / "multi"
+    d.mkdir()
+    write_fixture(str(d / "a.parquet"), n_rows=4000, seed=1, row_group_size=256)
+    write_fixture(str(d / "b.parquet"), n_rows=2500, seed=2, row_group_size=100)
+    write_fixture(str(d / "c.parquet"), n_rows=700, seed=3, row_group_size=700)
+    ser = plan_partitions(str(d), target_tokens=TARGET, parallel=False)
+    par = plan_partitions(str(d), target_tokens=TARGET, parallel=True)
+    assert ser["partitions"] == par["partitions"]
+    assert ser["fingerprint"] == par["fingerprint"]
+
+
+def test_fingerprint_tracks_file_content(tmp_path):
+    """Regenerating an input file in place (same path, new bytes) must
+    change the plan fingerprint so stale manifests don't resume."""
+    from tokcodec.synth import write_fixture
+
+    p = str(tmp_path / "t.parquet")
+    write_fixture(p, n_rows=500, seed=1)
+    fp1 = plan_partitions(p, target_tokens=TARGET, parallel=False)["fingerprint"]
+    os.utime(p, ns=(1, 1))  # content-change proxy: mtime moved
+    fp2 = plan_partitions(p, target_tokens=TARGET, parallel=False)["fingerprint"]
+    assert fp1 != fp2

@@ -50,6 +50,36 @@ def _ntok_chunk(path: str, rg_lo: int, rg_hi: int, token_col: str) -> np.ndarray
     return np.abs(t.column(0).to_numpy(zero_copy_only=False).astype(np.int64))
 
 
+def _chunk_total(path: str, rg_lo: int, rg_hi: int, token_col: str) -> int:
+    """Stats wave 1: ONE scalar per chunk back to the driver (never the
+    raw mass array — at 10^12 rows that array is driver-killing)."""
+    return int(_ntok_chunk(path, rg_lo, rg_hi, token_col).sum())
+
+
+def _chunk_cut_rows(
+    path: str,
+    rg_lo: int,
+    rg_hi: int,
+    token_col: str,
+    row_offset: int,
+    base_mass: int,
+    cut_vals: list[float],
+) -> list[tuple[int, int]]:
+    """Stats wave 2: for each global cut value v assigned to this chunk,
+    return (global boundary row b, global cum-mass at b-1).  Exactly
+    replicates ``searchsorted(global_cum, v)`` because global_cum[i] =
+    base_mass + local_cum[i - row_offset] within the chunk."""
+    mass = _ntok_chunk(path, rg_lo, rg_hi, token_col)
+    cum = np.cumsum(mass)
+    out = []
+    for v in cut_vals:
+        bl = int(np.searchsorted(cum, v - base_mass))
+        bl = min(bl, len(cum))
+        cum_bm1 = base_mass + (int(cum[bl - 1]) if bl > 0 else 0)
+        out.append((row_offset + bl, cum_bm1))
+    return out
+
+
 def _file_token_plan(
     path: str, target_tokens: int, token_col: str | None, mass: np.ndarray | None = None
 ) -> list[dict]:
@@ -92,6 +122,118 @@ def _file_token_plan(
     return specs
 
 
+_PLAN_CHUNK_RGS = 64  # row groups per stats task
+
+
+def _plan_distributed(
+    files: list[str], target_tokens: int, token_col: str | None
+) -> list[list[dict]]:
+    """Two-wave distributed stats pass with O(chunks + partitions) driver
+    memory (never the raw n_tok arrays — the round-1 design shipped every
+    file's mass array to the driver, terabytes at 10^12 rows):
+
+    wave 1: each chunk task returns ONE int (its token mass).  The driver
+    derives per-file totals, partition counts and the equal-mass cut
+    values, and assigns each cut to the first chunk whose cumulative mass
+    reaches it.
+    wave 2: each chunk with assigned cuts re-reads its (tiny) token
+    column and returns the exact boundary row + cum-mass per cut.
+
+    Produces partitions bit-identical to the serial `_file_token_plan`
+    (same searchsorted semantics); the token column is read twice —
+    ~0.2% of the data, the price of O(1) driver memory.
+    """
+    import ray
+
+    total_task = ray.remote(num_cpus=0.5)(_chunk_total)
+    cuts_task = ray.remote(num_cpus=0.5)(_chunk_cut_rows)
+
+    # chunk layout per file: (rg_lo, rg_hi, row_offset)
+    chunks: dict[int, list[tuple[int, int, int]]] = {}
+    n_rows_of: dict[int, int] = {}
+    wave1: list[tuple[int, int, object]] = []  # (fi, chunk_idx, ref)
+    for fi, p in enumerate(files):
+        f = pq.ParquetFile(p)
+        md = f.metadata
+        n_rows_of[fi] = md.num_rows
+        if token_col is None or token_col not in f.schema_arrow.names:
+            continue
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        row_off = 0
+        cl = []
+        for lo in range(0, md.num_row_groups, _PLAN_CHUNK_RGS):
+            hi = min(md.num_row_groups, lo + _PLAN_CHUNK_RGS)
+            cl.append((lo, hi, row_off))
+            row_off += sum(rg_rows[lo:hi])
+        chunks[fi] = cl
+        for ci, (lo, hi, _) in enumerate(cl):
+            wave1.append((fi, ci, total_task.remote(p, lo, hi, token_col)))
+    totals: dict[tuple[int, int], int] = {}
+    for (fi, ci, _), tot in zip(wave1, ray.get([w[2] for w in wave1])):
+        totals[(fi, ci)] = tot
+
+    # assign cuts to chunks, launch wave 2
+    wave2: list[tuple[int, object]] = []  # (fi, ref)
+    file_cfg: dict[int, dict] = {}
+    for fi, p in enumerate(files):
+        if fi not in chunks or n_rows_of[fi] == 0:
+            continue
+        cl = chunks[fi]
+        chunk_tot = [totals[(fi, ci)] for ci in range(len(cl))]
+        ends = np.cumsum(chunk_tot)
+        total = int(ends[-1]) if len(ends) else 0
+        n_parts = max(1, round(total / target_tokens))
+        cut_vals = [k * total / n_parts for k in range(1, n_parts)]
+        file_cfg[fi] = {"total": total}
+        per_chunk: dict[int, list[float]] = {}
+        for v in cut_vals:
+            ci = int(np.searchsorted(ends, v))  # first chunk with end >= v
+            ci = min(ci, len(cl) - 1)
+            per_chunk.setdefault(ci, []).append(v)
+        for ci, vals in sorted(per_chunk.items()):
+            lo, hi, row_off = cl[ci]
+            base = int(ends[ci - 1]) if ci > 0 else 0
+            wave2.append(
+                (fi, cuts_task.remote(p, lo, hi, token_col, row_off, base, vals))
+            )
+
+    bounds_of: dict[int, list[tuple[int, int]]] = {fi: [] for fi in file_cfg}
+    for (fi, _), res in zip(wave2, ray.get([w[1] for w in wave2])):
+        bounds_of[fi].extend(res)
+
+    per_file: list[list[dict]] = []
+    for fi, p in enumerate(files):
+        if fi not in file_cfg:
+            # no token column (or empty): serial fallback reads no data
+            per_file.append(_file_token_plan(p, target_tokens, token_col))
+            continue
+        n_rows = n_rows_of[fi]
+        total = file_cfg[fi]["total"]
+        bounds = [0]
+        cums = [0]  # global cum-mass at bound-1 (0 for bound 0)
+        for b, cum_bm1 in sorted(bounds_of[fi]):
+            if b > bounds[-1]:
+                bounds.append(int(b))
+                cums.append(int(cum_bm1))
+        if bounds[-1] != n_rows:
+            bounds.append(n_rows)
+            cums.append(total)
+        else:
+            cums[-1] = total
+        specs = []
+        for j in range(len(bounds) - 1):
+            specs.append(
+                {
+                    "file": os.path.abspath(p),
+                    "row_start": bounds[j],
+                    "row_end": bounds[j + 1],
+                    "n_tok": cums[j + 1] - cums[j],
+                }
+            )
+        per_file.append(specs)
+    return per_file
+
+
 def plan_partitions(
     input_paths: str | list[str],
     target_tokens: int = DEFAULT_TARGET_TOKENS,
@@ -122,27 +264,7 @@ def plan_partitions(
     import ray
 
     if parallel and ray.is_initialized():
-        # distributed stats pass: one task per ~64 row groups per file
-        chunk_task = ray.remote(num_cpus=1)(_ntok_chunk)
-        jobs: list[tuple[int, object]] = []
-        metas = []
-        for fi, p in enumerate(files):
-            f = pq.ParquetFile(p)
-            metas.append(f)
-            if token_col is not None and token_col in f.schema_arrow.names:
-                n_rg = f.metadata.num_row_groups
-                step = 64
-                for lo in range(0, n_rg, step):
-                    jobs.append((fi, chunk_task.remote(p, lo, min(n_rg, lo + step), token_col)))
-        masses: dict[int, list] = {}
-        if jobs:
-            results = ray.get([j[1] for j in jobs])
-            for (fi, _), m in zip(jobs, results):
-                masses.setdefault(fi, []).append(m)
-        per_file = []
-        for fi, p in enumerate(files):
-            mass = np.concatenate(masses[fi]) if fi in masses else None
-            per_file.append(_file_token_plan(p, target_tokens, token_col, mass=mass))
+        per_file = _plan_distributed(files, target_tokens, token_col)
     else:
         per_file = [_file_token_plan(p, target_tokens, token_col) for p in files]
 
@@ -156,6 +278,12 @@ def plan_partitions(
         "token_col": token_col,
         "columns": columns,
         "files": [os.path.abspath(p) for p in files],
+        # content stamp: a regenerated input file (same path, new bytes)
+        # must invalidate prior manifests, not silently resume over them
+        "file_stats": [
+            [os.path.abspath(p), os.path.getsize(p), os.stat(p).st_mtime_ns]
+            for p in files
+        ],
         "format": "TOKB1",
     }
     return {"fingerprint": mf.fingerprint(config), "config": config, "partitions": partitions}
