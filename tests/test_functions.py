@@ -311,3 +311,73 @@ def test_word_shingles_match_scalar_reference():
         di, hs = dedup._word_shingles(tx, k)
         odi, ohs = old_shingles(tx, k)
         assert sorted(zip(di.tolist(), hs.tolist())) == sorted(zip(odi, ohs)), k
+
+
+def test_lsh_bucket_cap_bounds_pairs(ray_session, monkeypatch):
+    import ray.data
+
+    monkeypatch.setattr(dedup, "MAX_BUCKET", 4)
+    # 10 identical docs land in one bucket in every band
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array(["the same boilerplate text again and again ok"] * 10),
+        }
+    )
+    pairs = dedup.lsh_candidate_pairs(ray.data.from_arrow(t)).take_all()
+    # chunks of 4/4/2 -> 6+6+1 = 13 pairs, not 45
+    assert len(pairs) == 13
+    assert all(p["a"] < p["b"] for p in pairs)
+
+
+def test_embedding_bucket_cap_bounds_pairs(ray_session, monkeypatch):
+    import ray.data
+
+    monkeypatch.setattr(ann, "MAX_SIG_BUCKET", 4)
+    vec = [0.5, 0.5, 0.1, 0.2]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(10), pa.int64()),
+            "embedding": pa.array([vec] * 10, pa.list_(pa.float64())),
+        }
+    )
+    out = ann.embedding_near_dups(ray.data.from_arrow(t), tau=0.99).take_all()
+    assert len(out) == 13
+    assert all(r["a"] < r["b"] for r in out)
+
+
+def test_verify_jaccard_distributed_matches_exact(ray_session):
+    """The groupby(pair)-based verification must equal a driver-side
+    exact Jaccard over the same candidate pairs."""
+    import ray.data
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",   # near-dup of 0
+        "one two three four five six seven",
+        "completely different content here now",
+        "alpha beta gamma delta epsilon zeta",  # exact dup of 0
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t)
+    pairs = ray.data.from_items([
+        {"a": 0, "b": 1}, {"a": 0, "b": 4}, {"a": 2, "b": 3}, {"a": 0, "b": 99},
+    ])
+    got = sorted(
+        ((r["a"], r["b"], r["jaccard"]) for r in dedup.verify_jaccard(ds, pairs, tau=0.3))
+    )
+
+    def jac(i, j):
+        _, sa = dedup._word_shingles([texts[i]], 3)
+        _, sb = dedup._word_shingles([texts[j]], 3)
+        sa, sb = set(sa.tolist()), set(sb.tolist())
+        return len(sa & sb) / len(sa | sb)
+
+    want = sorted(
+        (a, b, round(jac(a, b), 4))
+        for a, b in [(0, 1), (0, 4), (2, 3)]
+        if jac(a, b) >= 0.3
+    )
+    assert got == want
+    # pair with a missing doc (99) never produces a claim
+    assert all(b != 99 for _, b, _ in got)

@@ -199,13 +199,21 @@ def ivf_topk(ds, centroids: np.ndarray, query: np.ndarray, k: int = 10,
     return out
 
 
+# all-pairs cap per signature bucket: a degenerate bucket (identical /
+# zero vectors) otherwise makes the m @ m.T quadratic.  Oversized buckets
+# are split by sorted id into chunks of this size and the drop is logged.
+MAX_SIG_BUCKET = 1024
+
+
 def embedding_near_dups(ds, tau: float = 0.95, n_planes: int = 10, seed: int = 5,
                         id_col: str = "vec_id", vec_col: str = "embedding"):
     """Cosine-near-duplicate pairs: bucket by hyperplane signature
-    (groupby — the one shuffle), exact cosine within buckets."""
+    (groupby — the one shuffle), exact cosine within buckets (bounded by
+    MAX_SIG_BUCKET per chunk)."""
+    import logging
+
     import pandas as pd
 
-    rng = np.random.default_rng(seed)
     planes_holder = {}
 
     def add_sig(batch: pa.Table) -> pa.Table:
@@ -216,13 +224,9 @@ def embedding_near_dups(ds, tau: float = 0.95, n_planes: int = 10, seed: int = 5
         sigs = _signatures(m, planes_holder["p"]).view(np.int64)
         return batch.append_column("sig", pa.array(sigs))
 
-    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "sim": []})
-        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
-        ids = g[id_col].to_numpy()
+    def chunk_dups(m: np.ndarray, ids: np.ndarray) -> pd.DataFrame:
         sims = m @ m.T
-        ii, jj = np.triu_indices(len(g), k=1)
+        ii, jj = np.triu_indices(len(ids), k=1)
         keep = sims[ii, jj] >= tau
         return pd.DataFrame(
             {
@@ -232,6 +236,24 @@ def embedding_near_dups(ds, tau: float = 0.95, n_planes: int = 10, seed: int = 5
             }
         )
 
-    del rng
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "sim": []})
+        order = np.argsort(g[id_col].to_numpy(), kind="stable")
+        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))[order]
+        ids = g[id_col].to_numpy()[order]
+        if len(ids) <= MAX_SIG_BUCKET:
+            return chunk_dups(m, ids)
+        n = len(ids)
+        logging.getLogger(__name__).warning(
+            "signature bucket of %d vectors split into %d-vector chunks: "
+            "cross-chunk pairs dropped", n, MAX_SIG_BUCKET,
+        )
+        frames = [
+            chunk_dups(m[i : i + MAX_SIG_BUCKET], ids[i : i + MAX_SIG_BUCKET])
+            for i in range(0, n, MAX_SIG_BUCKET)
+        ]
+        return pd.concat(frames, ignore_index=True)
+
     sig_ds = ds.map_batches(add_sig, batch_format="pyarrow")
     return sig_ds.groupby("sig").map_groups(bucket_dups, batch_format="pandas")

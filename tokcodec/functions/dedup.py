@@ -152,13 +152,43 @@ def minhash_band_rows(
     )
 
 
+# all-pairs cap per LSH bucket: a degenerate bucket (boilerplate docs)
+# otherwise goes quadratic.  Oversized buckets are split into sorted
+# chunks of this size (pairs within chunks only) and the drop is logged.
+MAX_BUCKET = 256
+
+
 def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
     """documents → candidate near-dup pairs (a < b) via MinHash LSH."""
+    import logging
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g[id_col]))
         if len(ids) < 2:
             return pd.DataFrame({"a": [], "b": []})
+        if len(ids) > MAX_BUCKET:
+            n_full = len(ids) * (len(ids) - 1) // 2
+            kept = sum(
+                m * (m - 1) // 2
+                for m in (
+                    len(ids[i : i + MAX_BUCKET])
+                    for i in range(0, len(ids), MAX_BUCKET)
+                )
+            )
+            logging.getLogger(__name__).warning(
+                "LSH bucket of %d docs split into %d-doc chunks: emitting %d of %d pairs",
+                len(ids), MAX_BUCKET, kept, n_full,
+            )
+            frames = [
+                pd.DataFrame(
+                    [(a, b) for i, a in enumerate(chunk) for b in chunk[i + 1 :]],
+                    columns=["a", "b"],
+                )
+                for chunk in (
+                    ids[i : i + MAX_BUCKET] for i in range(0, len(ids), MAX_BUCKET)
+                )
+            ]
+            return pd.concat(frames, ignore_index=True)
         pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
         return pd.DataFrame(pairs, columns=["a", "b"])
 
@@ -175,43 +205,60 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id", **kw
 
 
 def verify_jaccard(ds, pairs, text_col="text", id_col="doc_id", k: int = 3, tau: float = 0.5):
-    """Exact word-shingle Jaccard for candidate pairs.  Only the involved
-    docs' shingle sets are gathered — the candidate set is small by
-    design, so verification is a driver-side pass over it (at larger
-    candidate volumes, broadcast `sets` via ray.put and verify inside
-    map_batches over the pairs)."""
-    pair_rows = pairs.take_all()
+    """Exact word-shingle Jaccard for candidate pairs, computed OFF the
+    driver: the doc→pair-id index (ids only, no text/shingles) is
+    broadcast once via ray.put; a map_batches pass over the corpus emits
+    (pair_id, doc_id, shingles) rows for involved docs only; a
+    groupby(pair_id) joins the two shingle sets and scores each pair.
+    The driver never holds corpus-derived data — only the candidate-pair
+    id list and the final (tiny) verified output.  At volumes where even
+    the pair-id list outgrows the driver, replace the broadcast index
+    with a shuffle join of pairs against docs on doc id."""
+    import ray
+
+    pair_rows = pairs.take_all()  # ids only: (a, b) per candidate pair
     if not pair_rows:
         return []
-    involved = sorted({r["a"] for r in pair_rows} | {r["b"] for r in pair_rows})
-    inv_set = set(involved)
+    doc2pids: dict = {}
+    for pid, r in enumerate(pair_rows):
+        doc2pids.setdefault(r["a"], []).append(pid)
+        doc2pids.setdefault(r["b"], []).append(pid)
+    idx_ref = ray.put(doc2pids)
 
-    def shingle_sets(batch: pa.Table) -> pa.Table:
+    def emit_shingles(batch: pa.Table) -> pa.Table:
+        m = ray.get(idx_ref)  # zero-copy from local plasma, put once
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        id_type = batch.schema.field(id_col).type
+        hit = [(i, t) for i, t in zip(ids, texts) if i in m]
         out = []
-        for i, t in zip(ids, texts):
-            if i in inv_set:
-                _, sh = _word_shingles([t], k)
-                out.append({id_col: i, "sh": sh.astype(np.int64).tolist()})
-        # empty fallback keeps the batch's own id type so Ray's schema
-        # unification doesn't see int64-vs-string conflicts
+        if hit:
+            didx, sh = _word_shingles([t for _, t in hit], k)
+            for j, (i, _) in enumerate(hit):
+                shj = sh[didx == j].astype(np.int64).tolist()
+                for pid in m[i]:
+                    out.append({"pid": pid, "sh": shj})
         return pa.Table.from_pylist(out) if out else pa.table(
-            {id_col: pa.array([], id_type), "sh": pa.array([], pa.list_(pa.int64()))}
+            {"pid": pa.array([], pa.int64()), "sh": pa.array([], pa.list_(pa.int64()))}
         )
 
-    rows = ds.map_batches(shingle_sets, batch_format="pyarrow").take_all()
-    sets = {r[id_col]: set(r["sh"]) for r in rows}
-    out = []
-    for r in pair_rows:
-        if r["a"] not in sets or r["b"] not in sets:
-            continue  # doc text not found: no evidence, never a dup claim
-        sa, sb = sets[r["a"]], sets[r["b"]]
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:  # a doc missing from the corpus: no dup claim
+            return pd.DataFrame({"pid": [], "jaccard": []})
+        sa, sb = set(g["sh"].iloc[0]), set(g["sh"].iloc[1])
         u = len(sa | sb)
         j = (len(sa & sb) / u) if u else 0.0
-        if j >= tau:
-            out.append({"a": r["a"], "b": r["b"], "jaccard": round(j, 4)})
+        return pd.DataFrame({"pid": [g["pid"].iloc[0]], "jaccard": [j]})
+
+    scored = (
+        ds.map_batches(emit_shingles, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(score, batch_format="pandas")
+    )
+    out = []
+    for r in scored.take_all():  # tiny: one row per candidate pair
+        if r["jaccard"] >= tau:
+            p = pair_rows[int(r["pid"])]
+            out.append({"a": p["a"], "b": p["b"], "jaccard": round(r["jaccard"], 4)})
     return out
 
 
