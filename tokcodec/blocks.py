@@ -219,6 +219,85 @@ def _unflatten(node: dict, get_seg) -> dict:
     }
 
 
+_STATS_TYPES = _INT_TYPES | _FLOAT_TYPES | {pa.bool_(), pa.string(), pa.large_string()}
+
+
+def _stat_to_json(v):
+    """JSON-safe stat value; temporal values carry a type tag so the
+    zone-map check can compare them against datetime/date literals."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return {"$dt": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"$d": v.isoformat()}
+    if isinstance(v, datetime.time):
+        return {"$tm": v.isoformat()}
+    return v
+
+
+def _stat_from_json(v):
+    import datetime
+
+    if isinstance(v, dict):
+        if "$dt" in v:
+            return datetime.datetime.fromisoformat(v["$dt"])
+        if "$d" in v:
+            return datetime.date.fromisoformat(v["$d"])
+        if "$tm" in v:
+            return datetime.time.fromisoformat(v["$tm"])
+    return v
+
+
+def column_stats(arr: pa.Array) -> dict | None:
+    """Per-block zone-map stats for a top-level column: {"min", "max",
+    "nulls", "n"} (min/max omitted when all-null or not an orderable
+    primitive).  The TOKB analog of Parquet row-group statistics —
+    what the reference reader's pushdown consumes
+    (ExampleReadSupport.java:55-74)."""
+    t = arr.type
+    orderable = (
+        t in _STATS_TYPES
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_time(t)
+    )
+    if not orderable:
+        return None
+    n = len(arr)
+    out = {"nulls": arr.null_count, "n": n}
+    if n == arr.null_count:
+        return out
+    if pa.types.is_floating(t):
+        # NaN breaks ordering (and matches != against any min/max):
+        # publish no min/max for NaN-bearing columns
+        nn = pc.drop_null(arr)
+        if len(nn) and pc.any(pc.is_nan(nn)).as_py():
+            return out
+    mm = pc.min_max(arr)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None or hi is None:
+        return out
+    out["min"] = _stat_to_json(lo)
+    out["max"] = _stat_to_json(hi)
+    return out
+
+
+def header_stats(header: dict) -> dict:
+    """Deserialized per-column stats from a block header (column name →
+    {"min","max","nulls","n"}); columns without stats are absent."""
+    out = {}
+    for c in header["columns"]:
+        s = c.get("stats")
+        if s:
+            d = dict(s)
+            if "min" in d:
+                d["min"] = _stat_from_json(d["min"])
+                d["max"] = _stat_from_json(d["max"])
+            out[c["name"]] = d
+    return out
+
+
 def encode_table(table: pa.Table, meta: dict | None = None, zstd: bool = True) -> bytes:
     table = table.combine_chunks()
     segments: list[bytes] = []
@@ -228,7 +307,11 @@ def encode_table(table: pa.Table, meta: dict | None = None, zstd: bool = True) -
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         if isinstance(arr, pa.ChunkedArray):  # zero chunks edge case
             arr = pa.concat_arrays(arr.chunks) if arr.num_chunks else pa.nulls(0, arr.type)
-        cols.append({"name": name, "enc": _flatten(encode_array(arr), segments)})
+        spec = {"name": name, "enc": _flatten(encode_array(arr), segments)}
+        stats = column_stats(arr)
+        if stats is not None:
+            spec["stats"] = stats
+        cols.append(spec)
     seg_table = []
     payloads = []
     off = 0
@@ -260,6 +343,45 @@ def read_header(blob: bytes) -> dict:
         raise ValueError("not a TOKB block")
     hlen = int.from_bytes(blob[len(MAGIC) : len(MAGIC) + 8], "little")
     return json.loads(blob[len(MAGIC) + 8 : len(MAGIC) + 8 + hlen].decode())
+
+
+def read_header_file(path: str) -> dict:
+    """Header-only read of a block FILE: magic + length + header JSON,
+    never the payload — the cheap first step of predicate-pruned decode."""
+    with open(path, "rb") as f:
+        prefix = f.read(len(MAGIC) + 8)
+        if prefix[: len(MAGIC)] != MAGIC:
+            raise ValueError(f"not a TOKB block: {path}")
+        hlen = int.from_bytes(prefix[len(MAGIC) :], "little")
+        return json.loads(f.read(hlen).decode())
+
+
+def header_schema(header: dict) -> pa.Schema:
+    return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(header["schema"])))
+
+
+def decode_file(
+    path: str, columns: list[str] | None = None, predicate=None
+) -> tuple[pa.Table, dict]:
+    """Decode one block file with predicate-pushdown block skipping:
+    the header is read first; if the predicate's zone-map check proves no
+    row can match, the payload is never read and an empty (correctly
+    pruned) table returns.  Matching blocks decode then re-filter
+    residually — exact WHERE semantics either way."""
+    header = read_header_file(path)
+    if predicate is not None and not predicate.stats_may_match(header_stats(header)):
+        schema = header_schema(header)
+        if columns is not None:
+            missing = set(columns) - set(schema.names)
+            if missing:
+                raise ValueError(f"Invalid fields: {sorted(missing)}")
+            schema = pa.schema([schema.field(c) for c in schema.names if c in columns])
+        return schema.empty_table(), header["meta"]
+    with open(path, "rb") as f:
+        t, meta = decode_table(f.read(), columns=columns)
+    if predicate is not None:
+        t = predicate.filter_table(t)
+    return t, meta
 
 
 def decode_table(blob: bytes, columns: list[str] | None = None) -> tuple[pa.Table, dict]:

@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from tokcodec import manifest as mf
-from tokcodec.blocks import decode_table, encode_table
+from tokcodec.blocks import decode_file, decode_table, encode_table
 
 DEFAULT_TARGET_TOKENS = 32_000_000  # ~64 MB of int32 tokens per partition
 
@@ -429,9 +429,16 @@ def encode_dataset(
 # ------------------------------------------------------------ decoding ----
 
 
-def decode_dataset(out_dir: str, columns: list[str] | None = None):
+def decode_dataset(out_dir: str, columns: list[str] | None = None, predicate=None):
     """Encoded dir → ray.data.Dataset of decoded rows (streaming: one
-    block decodes per task; nothing materializes on the driver)."""
+    block decodes per task; nothing materializes on the driver).
+
+    With `predicate` (a tokcodec.predicate.Expr), each task reads the
+    block HEADER first and skips the payload entirely when the
+    per-column zone-map stats prove no row can match (the reference
+    reader's FilterPredicate-over-row-group-stats role,
+    ExampleReadSupport.java:55-74); surviving blocks decode then
+    re-filter residually — exact WHERE semantics."""
     import ray.data
 
     mans = mf.list_manifests(out_dir)
@@ -447,16 +454,28 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None):
     def _decode(batch: pa.Table) -> pa.Table:
         tables = []
         for row in batch.to_pylist():
-            with open(row["path"], "rb") as f:
-                # column pruning pushes into the block decode: unrequested
-                # columns' payloads are never decompressed
-                t, _ = decode_table(f.read(), columns=columns)
+            t, _ = decode_file(row["path"], columns=columns, predicate=predicate)
             tables.append(t)
         return pa.concat_tables(tables)
 
     return ray.data.from_items(items).map_batches(
         _decode, batch_size=1, batch_format="pyarrow"
     )
+
+
+def count_prunable_blocks(out_dir: str, predicate) -> tuple[int, int]:
+    """(skippable, total) blocks under `out_dir` for a predicate — the
+    zone-map check only (header reads, no payload); used by tests and
+    for plan introspection."""
+    from tokcodec.blocks import header_stats, read_header_file
+
+    mans = mf.list_manifests(out_dir)
+    skip = 0
+    for m in mans:
+        header = read_header_file(os.path.join(out_dir, m["block"]))
+        if not predicate.stats_may_match(header_stats(header)):
+            skip += 1
+    return skip, len(mans)
 
 
 # ------------------------------------------------------- streaming form ----

@@ -132,6 +132,26 @@ _DOC_FIELDS = [
 ]
 
 
+def predicate_tokb_roundtrip(sf_dir: str):
+    """Predicate pushdown on OUR OWN format: encode lineitem into TOKB
+    blocks (row-ranged partitions), then decode with a predicate — block
+    headers carry per-column zone-map stats, so non-matching blocks skip
+    at the header read (lineitem is orderkey-ordered, so the filter
+    prunes most blocks); survivors decode + re-filter.  Oracle = the
+    same WHERE in DuckDB over the source table."""
+    import tempfile
+
+    from tokcodec.pipelines.encode import decode_dataset
+    from tokcodec.sources.sink import TokbDatasink
+
+    out = tempfile.mkdtemp(prefix="tokbpred_", dir="/tmp")
+    # sort by the filter key so block zone maps are disjoint (the layout
+    # this feature exists for), split into ranged blocks, encode
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    ds.sort("l_orderkey").repartition(8).write_datasink(TokbDatasink(out))
+    return decode_dataset(out, predicate=col("l_orderkey") < 1000)
+
+
 def scanner_documents(sf_dir: str):
     s = scan_schema(_rp(sf_dir, "documents"))
     return pa.Table.from_pylist(
@@ -533,6 +553,7 @@ def build_queries() -> dict:
         "predicate_dates_lineitem": predicate_dates_lineitem,
         "predicate_isin_part": predicate_isin_part,
         "predicate_negation_orders": predicate_negation_orders,
+        "predicate_tokb_roundtrip": predicate_tokb_roundtrip,
         "scanner_documents": scanner_documents,
         "token_count_documents": token_count_documents,
         "fingerprint_documents": fingerprint_documents,
@@ -593,6 +614,10 @@ def build_oracle_sql() -> dict:
         ),
         "predicate_negation_orders": (
             "SELECT o_orderkey, o_orderstatus FROM orders WHERE NOT o_orderstatus = 'F'"
+        ),
+        "predicate_tokb_roundtrip": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_orderkey < 1000"
         ),
         "scanner_documents": scanner_documents_oracle(),
         "token_count_documents": (

@@ -1,5 +1,6 @@
-"""Predicate DSL: one expression, two executions — row-group pushdown at
-the Parquet scan AND a vectorized residual filter per batch.
+"""Predicate DSL: one expression, three executions — row-group pushdown
+at the Parquet scan, a vectorized residual filter per batch, AND a
+zone-map check over TOKB per-block column stats.
 
 The reference compiles Scala lambdas into parquet-mr FilterPredicate
 trees (Predicate.scala:13-17, 47-183) and its `build` form returns BOTH
@@ -7,15 +8,21 @@ the native lambda and the pushdown tree (Predicate.scala:10,19-27).  The
 idiomatic Python equivalent is a small `col()` DSL whose nodes emit
 
 * a ``pyarrow.dataset`` expression → ``ray.data.read_parquet(filter=...)``
-  (row-group/page pruning, the reference's pushdown role), and
+  (row-group/page pruning, the reference's pushdown role),
 * a batch-level boolean-mask function via ``pyarrow.compute`` kernels →
-  residual ``map_batches`` filtering (the reference's native lambda).
+  residual ``map_batches`` filtering (the reference's native lambda), and
+* a conservative ``stats_may_match(block_stats)`` → TOKB block skipping
+  (the reference reader's FilterPredicate-over-row-group-stats role,
+  ExampleReadSupport.java:55-74).
 
 Covered semantics, mirroring SURVEY.md §2 #6-#11: comparison ops over
 int/long/float/double/boolean/string; and/or/not; operand flipping
 (`5 > col` — natural via Python reflected dunders); literal type
 coercion to the column type (done by pyarrow.compute casting rules);
 null comparisons (`== None` → is_null); implicit boolean columns.
+Dotted names (`col("address.zip")`) traverse struct fields, matching the
+reference's nested getter chains (Common.scala:26-52) — the pushdown
+emits a nested field reference and the residual walks pc.struct_field.
 """
 
 from __future__ import annotations
@@ -27,6 +34,30 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 
+def _resolve(table: pa.Table, parts: tuple[str, ...]):
+    """Walk a dotted path: top-level column, then struct fields
+    (Common.scala:26-52's getter-chain semantics; non-struct traversal
+    is an error, not a silent null)."""
+    if parts[0] not in table.column_names:
+        raise KeyError(f"Invalid fields: ['{parts[0]}']")
+    arr = table.column(parts[0])
+    for p in parts[1:]:
+        typ = arr.type
+        if not pa.types.is_struct(typ):
+            raise TypeError(
+                f"cannot traverse '.{p}' of non-struct column "
+                f"'{'.'.join(parts)}' (got {typ})"
+            )
+        if typ.field(p) is None:  # pragma: no cover - arrow raises first
+            raise KeyError(f"Invalid fields: ['{p}']")
+        arr = pc.struct_field(arr, p)
+    return arr
+
+
+def _always_true(_stats: dict) -> bool:
+    return True
+
+
 class Expr:
     """Boolean expression node; combine with & | ~."""
 
@@ -35,10 +66,12 @@ class Expr:
         to_ds: Callable[[], pads.Expression],
         to_mask: Callable[[pa.Table], pa.ChunkedArray],
         desc: str,
+        stats_fn: Callable[[dict], bool] | None = None,
     ):
         self._to_ds = to_ds
         self._to_mask = to_mask
         self.desc = desc
+        self._stats_fn = stats_fn or _always_true
 
     # ---- pushdown form (FilterPredicate analog)
     def dataset_filter(self) -> pads.Expression:
@@ -51,11 +84,22 @@ class Expr:
     def filter_table(self, table: pa.Table) -> pa.Table:
         return table.filter(self.mask(table))
 
+    # ---- zone-map form: False only when NO row in a block can match
+    def stats_may_match(self, stats: dict) -> bool:
+        """`stats` maps column name → {"min", "max", "nulls", "n"}
+        (min/max absent for all-null columns; unknown columns are
+        conservatively assumed to match)."""
+        try:
+            return self._stats_fn(stats)
+        except TypeError:  # incomparable stat/literal types: no pruning
+            return True
+
     def __and__(self, other: "Expr") -> "Expr":
         return Expr(
             lambda: self.dataset_filter() & other.dataset_filter(),
             lambda t: pc.and_kleene(self.mask(t), other.mask(t)),
             f"({self.desc} && {other.desc})",
+            lambda s: self.stats_may_match(s) and other.stats_may_match(s),
         )
 
     def __or__(self, other: "Expr") -> "Expr":
@@ -63,9 +107,12 @@ class Expr:
             lambda: self.dataset_filter() | other.dataset_filter(),
             lambda t: pc.or_kleene(self.mask(t), other.mask(t)),
             f"({self.desc} || {other.desc})",
+            lambda s: self.stats_may_match(s) or other.stats_may_match(s),
         )
 
     def __invert__(self) -> "Expr":
+        # NOT is conservative in the zone map: may-match of the child
+        # doesn't imply must-match, so no pruning through negation
         return Expr(
             lambda: ~self.dataset_filter(),
             lambda t: pc.invert(self.mask(t)),
@@ -73,15 +120,49 @@ class Expr:
         )
 
 
+def _cmp_stats(parts: tuple[str, ...], op: str, lit: Any) -> Callable[[dict], bool]:
+    """Zone-map check for `col op literal` (False = provably no match)."""
+    name = ".".join(parts)
+
+    def check(stats: dict) -> bool:
+        s = stats.get(name)
+        if s is None:
+            return True
+        if "min" not in s or "max" not in s:
+            # all-null column: every comparison is null → filtered out
+            return False
+        lo, hi = s["min"], s["max"]
+        if op == ">":
+            return hi > lit
+        if op == "<":
+            return lo < lit
+        if op == ">=":
+            return hi >= lit
+        if op == "<=":
+            return lo <= lit
+        if op == "==":
+            return lo <= lit <= hi
+        if op == "!=":
+            return not (lo == hi == lit)
+        return True
+
+    return check
+
+
 class Col:
-    """A column reference: comparisons yield Expr; bare use in a boolean
-    context is the implicit `eq(col, True)` (Predicate.scala:114-117)."""
+    """A column reference (dotted for nested struct fields): comparisons
+    yield Expr; bare use in a boolean context is the implicit
+    `eq(col, True)` (Predicate.scala:114-117)."""
 
     def __init__(self, name: str):
         self.name = name
+        self.parts = tuple(name.split("."))
+
+    def _ds_field(self) -> pads.Expression:
+        return pads.field(*self.parts)
 
     def _cmp(self, op: str, pc_fn, other: Any) -> Expr:
-        name = self.name
+        name, parts = self.name, self.parts
         if other is None:
             # null-literal comparisons (Predicate.scala:120-126)
             if op in ("==",):
@@ -90,16 +171,17 @@ class Col:
                 return self.is_valid()
             raise ValueError(f"cannot order-compare column {name} with null")
         if isinstance(other, Col):
-            oname = other.name
+            oparts = other.parts
             return Expr(
-                lambda: getattr(pads.field(name), _DUNDER[op])(pads.field(oname)),
-                lambda t: pc_fn(t.column(name), t.column(oname)),
-                f"{name} {op} {oname}",
+                lambda: getattr(self._ds_field(), _DUNDER[op])(other._ds_field()),
+                lambda t: pc_fn(_resolve(t, parts), _resolve(t, oparts)),
+                f"{name} {op} {other.name}",
             )
         return Expr(
-            lambda: getattr(pads.field(name), _DUNDER[op])(pa.scalar(other)),
-            lambda t: pc_fn(t.column(name), _coerce(other, t.column(name).type)),
+            lambda: getattr(self._ds_field(), _DUNDER[op])(pa.scalar(other)),
+            lambda t: pc_fn(_resolve(t, parts), _coerce(other, _resolve(t, parts).type)),
             f"{name} {op} {other!r}",
+            _cmp_stats(parts, op, other),
         )
 
     def __gt__(self, o):
@@ -121,28 +203,52 @@ class Col:
         return self._cmp("!=", pc.not_equal, o)
 
     def is_null(self) -> Expr:
-        name = self.name
+        name, parts = self.name, self.parts
+
+        def stats_fn(stats: dict) -> bool:
+            s = stats.get(name)
+            return True if s is None else s.get("nulls", 1) > 0
+
         return Expr(
-            lambda: pads.field(name).is_null(),
-            lambda t: pc.is_null(t.column(name)),
+            lambda: pads.field(*parts).is_null(),
+            lambda t: pc.is_null(_resolve(t, parts)),
             f"{name} is null",
+            stats_fn,
         )
 
     def is_valid(self) -> Expr:
-        name = self.name
+        name, parts = self.name, self.parts
+
+        def stats_fn(stats: dict) -> bool:
+            s = stats.get(name)
+            if s is None:
+                return True
+            return s.get("nulls", 0) < s.get("n", 1)
+
         return Expr(
-            lambda: ~pads.field(name).is_null(),
-            lambda t: pc.is_valid(t.column(name)),
+            lambda: ~pads.field(*parts).is_null(),
+            lambda t: pc.is_valid(_resolve(t, parts)),
             f"{name} is not null",
+            stats_fn,
         )
 
     def isin(self, values) -> Expr:
-        name = self.name
+        name, parts = self.name, self.parts
         vals = list(values)
+
+        def stats_fn(stats: dict) -> bool:
+            s = stats.get(name)
+            if s is None:
+                return True
+            if "min" not in s or "max" not in s:
+                return False
+            return any(s["min"] <= v <= s["max"] for v in vals)
+
         return Expr(
-            lambda: pads.field(name).isin(vals),
-            lambda t: pc.is_in(t.column(name), value_set=pa.array(vals)),
+            lambda: pads.field(*parts).isin(vals),
+            lambda t: pc.is_in(_resolve(t, parts), value_set=pa.array(vals)),
             f"{name} in {vals!r}",
+            stats_fn,
         )
 
     def true_(self) -> Expr:

@@ -79,6 +79,14 @@ class TokbReader:
         return file_schema, read_schema
 
     # ----------------------------------------------------------- reading --
+    def with_predicate(self, expr) -> "TokbReader":
+        """Attach a tokcodec.predicate.Expr: blocks whose zone-map stats
+        prove no match are skipped at the header read, the rest decode +
+        re-filter — the reference's FilterPredicate-on-read role
+        (ExampleReadSupport.java:55-74)."""
+        self._predicate = expr
+        return self
+
     def dataset(self):
         """ray.data.Dataset of decoded rows under the resolved read
         schema (evolution rules applied per batch, vectorized).  Only the
@@ -90,7 +98,11 @@ class TokbReader:
         file_schema, read_schema = self.resolve_schema()
         file_names = {f.name for f in file_schema.fields}
         wanted = [f.name for f in read_schema.fields if f.name in file_names]
-        ds = decode_dataset(self.out_dir, columns=wanted or None)
+        ds = decode_dataset(
+            self.out_dir,
+            columns=wanted or None,
+            predicate=getattr(self, "_predicate", None),
+        )
         return ds.map_batches(
             lambda t: read_schema.read_table(t), batch_format="pyarrow"
         )

@@ -79,10 +79,13 @@ class TokbDatasink(Datasink):
             f.write(str(error))
 
 
-def read_tokb(out_dir: str):
+def read_tokb(out_dir: str, columns: list[str] | None = None, predicate=None):
     """Dataset over a TokbDatasink/encode_dataset output dir (streaming
-    decode; one task per block file)."""
+    decode; one task per block file).  `predicate` enables zone-map
+    block skipping + residual filtering (see blocks.decode_file)."""
     import ray.data
+
+    from tokcodec.blocks import decode_file
 
     names = sorted(
         n for n in os.listdir(out_dir) if n.endswith(".tokb")
@@ -92,12 +95,9 @@ def read_tokb(out_dir: str):
     items = [{"path": os.path.join(out_dir, n)} for n in names]
 
     def _decode(batch: pa.Table) -> pa.Table:
-        from tokcodec.blocks import decode_table
-
         tables = []
         for row in batch.to_pylist():
-            with open(row["path"], "rb") as f:
-                t, _ = decode_table(f.read())
+            t, _ = decode_file(row["path"], columns=columns, predicate=predicate)
             tables.append(t)
         return pa.concat_tables(tables)
 
