@@ -42,3 +42,34 @@ def test_cli_verify_empty_dir_fails(ray_session, tmp_path, capsys):
     rc = main(["verify", "--encoded", str(tmp_path)])
     out = capsys.readouterr().out
     assert rc == 1 and "no manifests" in out
+
+
+def test_tables_bit_identical_nan_aware():
+    import numpy as np
+    import pyarrow as pa
+
+    from tokcodec.cli import tables_bit_identical
+
+    nan = float("nan")
+    a = pa.table(
+        {
+            "f": pa.array([1.0, nan, None], pa.float64()),
+            "l": pa.array([[1.0, nan], [0.5], None], pa.list_(pa.float64())),
+            "i": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    b = pa.table(
+        {
+            "f": pa.array([1.0, nan, None], pa.float64()),
+            "l": pa.array([[1.0, nan], [0.5], None], pa.list_(pa.float64())),
+            "i": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    assert not a.equals(b)  # the Table.equals NaN pitfall this fixes
+    assert tables_bit_identical(a, b)
+    c = b.set_column(0, "f", pa.array([1.0, 2.0, None], pa.float64()))
+    assert not tables_bit_identical(a, c)
+    # distinct NaN payloads are distinct bits
+    neg_nan = np.frombuffer(np.uint64(0xFFF8000000000001).tobytes(), dtype=np.float64)[0]
+    d = b.set_column(0, "f", pa.array([1.0, neg_nan, None], pa.float64()))
+    assert not tables_bit_identical(a, d)

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 import pyarrow.parquet as pq
+import pytest
 
 
 def test_datasink_round_trip(ray_session, fixture_parquet, tmp_path):
@@ -34,3 +35,53 @@ def test_read_tokb_empty_dir_raises(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="no .tokb blocks"):
         read_tokb(str(tmp_path))
+
+
+def test_sink_write_side_schema_validation(ray_session, tmp_path):
+    """Malformed tables must fail AT WRITE with field context
+    (ExampleParquetWriter.java:46-52 + Schema.java:171-174 semantics),
+    not encode silently."""
+    import pyarrow as pa
+    import ray.data
+
+    from tokcodec.schema import Schema, Type
+    from tokcodec.sources.sink import TokbDatasink
+
+    schema = (
+        Schema.Builder().required("doc_id", Type.INT64).named("doc")
+    )
+    bad = pa.table({"doc_id": pa.array([1, None, 3], pa.int64())})
+    out = str(tmp_path / "bad")
+    with pytest.raises(Exception, match="doc_id"):
+        ray.data.from_arrow(bad).write_datasink(TokbDatasink(out, schema=schema))
+
+
+def test_encode_stream_schema_validation(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from tokcodec.pipelines import encode_stream
+    from tokcodec.schema import Schema, Type
+
+    schema = Schema.Builder().required("x", Type.INT64).named("t")
+    good = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    assert encode_stream(ray.data.from_arrow(good), schema=schema).count() >= 1
+    bad = pa.table({"x": pa.array([1, None, 3], pa.int64())})
+    with pytest.raises(Exception, match="x"):
+        encode_stream(ray.data.from_arrow(bad), schema=schema).count()
+
+
+def test_encode_dataset_schema_validation(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokcodec.pipelines import encode_dataset
+    from tokcodec.schema import Schema, Type
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(pa.table({"x": pa.array([1, None, 3], pa.int64())}), src)
+    schema = Schema.Builder().required("x", Type.INT64).named("t")
+    with pytest.raises(Exception, match="Required field x"):
+        encode_dataset(
+            src, str(tmp_path / "out"), token_col=None, schema=schema
+        )

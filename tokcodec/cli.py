@@ -84,10 +84,54 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def tables_bit_identical(a, b) -> bool:
+    """pa.Table equality that treats identical NaN bit patterns as equal
+    (pa.Table.equals says NaN != NaN): float columns — top-level and
+    list<float> — compare null masks + zeroed-null integer bit views;
+    everything else uses Table.equals."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if a.schema != b.schema or a.num_rows != b.num_rows:
+        return False
+
+    def float_bits_equal(ca, cb) -> bool:
+        ints = {pa.float32(): np.uint32, pa.float64(): np.uint64}[ca.type]
+        if ca.null_count != cb.null_count or not pc.is_null(ca).equals(pc.is_null(cb)):
+            return False
+        fa = pc.fill_null(ca, 0.0).to_numpy(zero_copy_only=False).view(ints)
+        fb = pc.fill_null(cb, 0.0).to_numpy(zero_copy_only=False).view(ints)
+        return bool((fa == fb).all())
+
+    for name in a.column_names:
+        ca = a.column(name).combine_chunks()
+        cb = b.column(name).combine_chunks()
+        t = ca.type
+        if pa.types.is_floating(t):
+            if not float_bits_equal(ca, cb):
+                return False
+        elif (
+            (pa.types.is_list(t) or pa.types.is_large_list(t))
+            and pa.types.is_floating(t.value_type)
+        ):
+            la = pc.list_value_length(ca)
+            lb = pc.list_value_length(cb)
+            if not la.equals(lb) or not float_bits_equal(
+                ca.flatten(), cb.flatten()
+            ):
+                return False
+        else:
+            if not ca.equals(cb):
+                return False
+    return True
+
+
 def cmd_verify(args) -> int:
     """Round-trip verification: decode and compare against the source,
     per partition (order-preserving within partitions, so no join/shuffle
-    is needed — lineage row ranges come from the manifests)."""
+    is needed — lineage row ranges come from the manifests).  Comparison
+    is NaN-aware bit identity (tables_bit_identical), not Table.equals."""
     import pyarrow.parquet as pq
 
     from tokcodec import manifest as mf
@@ -110,7 +154,11 @@ def cmd_verify(args) -> int:
                if offs[i + 1] > lin["row_start"] and offs[i] < lin["row_end"]]
         ref = src.read_row_groups(rgs, columns=dec.column_names, use_threads=False)
         ref = ref.slice(lin["row_start"] - offs[rgs[0]], lin["row_end"] - lin["row_start"])
-        return {"pid": man["pid"], "ok": dec.equals(ref), "rows": dec.num_rows}
+        return {
+            "pid": man["pid"],
+            "ok": tables_bit_identical(dec, ref),
+            "rows": dec.num_rows,
+        }
 
     mans = mf.list_manifests(args.encoded)
     if not mans:

@@ -12,7 +12,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from tokcodec.codecs.fsst import decode_fsst, table_of, try_fsst
-from tokcodec.codecs.intcodecs import _best_int, _node, _size, decode_int
+from tokcodec.codecs.intcodecs import _best_int, _est_z, _node, decode_int
 from tokcodec.codecs.util import _PA_TYPES, arr_to_np, np_to_arr, type_name
 
 _type_name = type_name  # back-compat alias
@@ -82,13 +82,13 @@ def encode_bytes_auto(arr: pa.Array, choice: str | None = None) -> dict:
             f = try_fsst(arr)
             if f is not None:
                 cands.append(f)
-        return min(cands, key=_size)
+        return min(cands, key=_est_z)
     sample = arr.slice(0, 4096)
     cands = [_enc_plain_bytes(sample), _enc_dict_bytes(sample, fsst_values=False)]
     fs = try_fsst(sample)
     if fs is not None:
         cands.append(fs)
-    best = min(cands, key=_size)["c"]
+    best = min(cands, key=_est_z)["c"]
     if best == "fsst":
         enc = try_fsst(arr, table=table_of(fs))  # reuse the sample-built table
         return enc if enc is not None else _enc_dict_bytes(arr)

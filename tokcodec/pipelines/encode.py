@@ -322,11 +322,21 @@ class EncodeWorker:
     reference's per-writer schema+buffer state
     (ExampleWriteSupport.java:14-15) without any cross-partition sharing."""
 
-    def __init__(self, out_dir: str, fp: str, columns: list[str] | None, zstd: bool = True):
+    def __init__(
+        self,
+        out_dir: str,
+        fp: str,
+        columns: list[str] | None,
+        zstd: bool = True,
+        schema=None,
+    ):
         self.out_dir = out_dir
         self.fp = fp
         self.columns = columns
         self.zstd = zstd
+        # write-side schema enforcement (ExampleParquetWriter.java:46-52
+        # + Schema.java:171-174): validate every table before encoding
+        self.schema = schema
 
     def encode_one(self, spec: dict) -> dict:
         pid = int(spec["pid"])
@@ -338,6 +348,8 @@ class EncodeWorker:
         t0 = time.monotonic()
         table = _read_rows(spec["file"], int(spec["row_start"]), int(spec["row_end"]), self.columns)
         t_read = time.monotonic() - t0
+        if self.schema is not None:
+            self.schema.validate_table(table)
         t0 = time.monotonic()
         lineage = {
             "file": spec["file"],
@@ -364,8 +376,10 @@ class EncodeWorker:
         return pa.Table.from_pylist(out)
 
 
-def _encode_specs(batch: pa.Table, out_dir: str, fp: str, columns, zstd: bool) -> pa.Table:
-    w = EncodeWorker(out_dir, fp, columns, zstd)
+def _encode_specs(
+    batch: pa.Table, out_dir: str, fp: str, columns, zstd: bool, schema=None
+) -> pa.Table:
+    w = EncodeWorker(out_dir, fp, columns, zstd, schema=schema)
     return w(batch)
 
 
@@ -378,6 +392,7 @@ def encode_dataset(
     concurrency: int | tuple[int, int] | None = None,
     zstd: bool = True,
     compute: str = "tasks",
+    schema=None,
 ) -> dict:
     """Plan → encode all partitions (skipping complete ones) → summary.
 
@@ -408,7 +423,7 @@ def encode_dataset(
             EncodeWorker,
             fn_constructor_kwargs={
                 "out_dir": out_dir, "fp": plan["fingerprint"],
-                "columns": columns, "zstd": zstd,
+                "columns": columns, "zstd": zstd, "schema": schema,
             },
             concurrency=concurrency,
             **kw,
@@ -418,7 +433,7 @@ def encode_dataset(
             _encode_specs,
             fn_kwargs={
                 "out_dir": out_dir, "fp": plan["fingerprint"],
-                "columns": columns, "zstd": zstd,
+                "columns": columns, "zstd": zstd, "schema": schema,
             },
             **kw,
         )
@@ -481,16 +496,23 @@ def count_prunable_blocks(out_dir: str, predicate) -> tuple[int, int]:
 # ------------------------------------------------------- streaming form ----
 
 
-def encode_stream(ds, zstd: bool = True, meta_cols: tuple[str, ...] = ("n_tok",)):
+def encode_stream(
+    ds, zstd: bool = True, meta_cols: tuple[str, ...] = ("n_tok",), schema=None
+):
     """Pure Dataset transform: each Arrow block → one row
-    {data: binary blob, rows, n_tok, bytes_in, bytes_out}."""
+    {data: binary blob, rows, n_tok, bytes_in, bytes_out}; `n_tok` is the
+    SUM over all matching meta_cols.  With `schema`, each batch is
+    validated before encoding (write-side enforcement,
+    ExampleParquetWriter.java:46-52 + Schema.java:171-174)."""
 
     def _enc(batch: pa.Table) -> pa.Table:
+        if schema is not None:
+            schema.validate_table(batch)
         blob = encode_table(batch, zstd=zstd)
         ntok = 0
         for c in meta_cols:
             if c in batch.column_names:
-                ntok = int(pa.compute.sum(batch.column(c)).as_py() or 0)
+                ntok += int(pa.compute.sum(batch.column(c)).as_py() or 0)
         return pa.Table.from_pylist(
             [
                 {

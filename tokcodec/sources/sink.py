@@ -25,11 +25,17 @@ from tokcodec.blocks import encode_table
 
 
 class TokbDatasink(Datasink):
-    """Pass to ``ds.write_datasink(TokbDatasink(dir))``."""
+    """Pass to ``ds.write_datasink(TokbDatasink(dir))``.
 
-    def __init__(self, out_dir: str, zstd: bool = True):
+    With `schema` (a tokcodec.schema.Schema), every incoming block is
+    validated before encoding — the reference writer's schema
+    enforcement (ExampleParquetWriter.java:46-52 resolves the schema,
+    Schema.java:171-174 checks each record's repetition at write)."""
+
+    def __init__(self, out_dir: str, zstd: bool = True, schema=None):
         self.out_dir = out_dir
         self.zstd = zstd
+        self.schema = schema
 
     def on_write_start(self):
         os.makedirs(self.out_dir, exist_ok=True)
@@ -51,6 +57,8 @@ class TokbDatasink(Datasink):
             t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
             if t.num_rows == 0:
                 continue
+            if self.schema is not None:
+                self.schema.validate_table(t)  # fail fast, with field context
             name = f"part-{ctx.task_idx:05d}-{seq:03d}"
             blob = encode_table(t, meta={"task": ctx.task_idx, "seq": seq}, zstd=self.zstd)
             path = os.path.join(self.out_dir, name + ".tokb")
