@@ -85,19 +85,25 @@ def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits.astype(np.uint64) * weights).sum(axis=1)
 
 
-def lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 8, seed: int = 5,
+def lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 4,
+             n_tables: int = 24, seed: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Approximate top-k: score only vectors whose hyperplane signature
-    matches some query signature.  At scale this is a bucket-pruned scan:
-    ~1/2^n_planes of the corpus per query."""
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH: a vector
+    is scored iff its b-bit signature matches some query's in ANY of the
+    L tables (standard (b, L) amplification — recall 1-(1-p^b)^L for
+    per-bit collision prob p).  On clustered real-world embeddings the
+    bucket check prunes most of the corpus; on near-uniform vectors (low
+    neighbor cosine) the union of buckets approaches a full scan — an
+    inherent LSH property, not an implementation artifact."""
     import ray
 
     q = _normalize(np.asarray(query, dtype=np.float64))
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, q.shape[1]))
-    qsigs = set(_signatures(q, planes).tolist())
+    planes = rng.standard_normal((n_tables, n_planes, q.shape[1]))
+    qsigs = [set(_signatures(q, planes[t]).tolist()) for t in range(n_tables)]
     qref = ray.put(q)
     planes_ref = ray.put(planes)
+    qsig_arrs = [np.fromiter(s, dtype=np.uint64) for s in qsigs]
 
     def score(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -105,8 +111,9 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 8, seed: int = 
         qm = ray.get(qref)
         pl = ray.get(planes_ref)
         m = _normalize(_batch_matrix(batch, vec_col))
-        sigs = _signatures(m, pl)
-        keep = np.isin(sigs, np.fromiter(qsigs, dtype=np.uint64))
+        keep = np.zeros(len(m), dtype=bool)
+        for t in range(pl.shape[0]):
+            keep |= np.isin(_signatures(m, pl[t]), qsig_arrs[t])
         if not keep.any():
             return pa.Table.from_pylist([])
         m = m[keep]

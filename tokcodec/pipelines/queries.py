@@ -477,6 +477,44 @@ def ann_ivf(sf_dir: str):
     )
 
 
+def _recall_ok_queries(sf_dir: str, approx_rows: list, k: int = 5, tau: float = 0.6):
+    """Queries whose recall@k vs exact brute force meets `tau` — the
+    oracle-checkable form of an ANN quality bar: the oracle lists ALL
+    query ids, so the row sets match iff every query meets the bar."""
+    q = _query_matrix(sf_dir, n=3)
+    brute = ann.brute_force_topk(_rp(sf_dir, "embeddings"), q, k=k)
+    bsets: dict[int, set] = {}
+    for r in brute:
+        bsets.setdefault(r["query"], set()).add(r["vec_id"])
+    asets: dict[int, set] = {}
+    for r in approx_rows:
+        asets.setdefault(r["query"], set()).add(r["vec_id"])
+    ok = [
+        qi
+        for qi in sorted(bsets)
+        if len(bsets[qi] & asets.get(qi, set())) / k >= tau
+    ]
+    return pa.table({"query": pa.array(ok, pa.int64())})
+
+
+def ann_lsh_recall(sf_dir: str):
+    """recall@5 of multi-table LSH vs brute force, >= 0.6 per query
+    (VERDICT round-1 item 9: the approximate operators leave rows-only)."""
+    q = _query_matrix(sf_dir, n=3)
+    rows = ann.lsh_topk(_rp(sf_dir, "embeddings"), q, k=5)
+    return _recall_ok_queries(sf_dir, rows)
+
+
+def ann_ivf_recall(sf_dir: str):
+    """recall@5 of IVF (16 centroids, 8 probes) vs brute force, >= 0.6
+    per query."""
+    ds = _rp(sf_dir, "embeddings")
+    cents = ann.ivf_build(ds, k=16)
+    q = _query_matrix(sf_dir, n=3)
+    rows = ann.ivf_topk(ds, cents, q, k=5, n_probe=8)
+    return _recall_ok_queries(sf_dir, rows)
+
+
 def embedding_dups(sf_dir: str):
     import ray.data
 
@@ -576,6 +614,8 @@ def build_queries() -> dict:
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "ann_lsh_recall": ann_lsh_recall,
+        "ann_ivf_recall": ann_ivf_recall,
         "embedding_dups": embedding_dups,
         "multimodal_meta_documents": multimodal_meta_documents,
         "multimodal_features": multimodal_features,
@@ -690,5 +730,13 @@ def build_oracle_sql() -> dict:
             "list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS rk "
             "FROM embeddings e CROSS JOIN q) "
             "SELECT query, vec_id FROM scored WHERE rk <= 5"
+        ),
+        # recall bars: the oracle lists every query id; the Ray side
+        # returns only ids whose recall@5 >= 0.6 — equal iff all pass
+        "ann_lsh_recall": (
+            "SELECT vec_id AS query FROM embeddings WHERE vec_id IN (0, 1, 2)"
+        ),
+        "ann_ivf_recall": (
+            "SELECT vec_id AS query FROM embeddings WHERE vec_id IN (0, 1, 2)"
         ),
     }
