@@ -108,6 +108,31 @@ def run_bench() -> dict:
 
     queries = {"encode": round(headline, 3), "decode_all": round(decode_s, 3)}
 
+    # tokenize-stage throughput (north-rule text→tokens stage; vectorized
+    # FNV over Arrow buffers — VERDICT r1 item 3's ≥5× evidence).  The SF
+    # documents table is tiny (≤5k docs), so tile it into a RAM-backed
+    # text fixture big enough that task overhead doesn't dominate.
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from tokcodec.functions import text as _text
+
+    text_fixture = f"{_BASE}/{SF_NAME}_text_v1.parquet"
+    if not os.path.exists(text_fixture):
+        doc = _pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        reps = max(1, 40_000 // max(1, doc.num_rows))
+        tiled = _pa.concat_tables([doc] * reps)
+        _pq.write_table(tiled, text_fixture, row_group_size=2048)
+    tok_ds = ray.data.read_parquet(text_fixture).map_batches(
+        _text.tokenize, batch_format="pyarrow"
+    )
+    t0 = time.monotonic()
+    tok_ntok = int(tok_ds.sum("n_tok"))
+    tokenize_s = time.monotonic() - t0
+    queries["tokenize_documents"] = round(tokenize_s, 3)
+
     # per-query timings over the SF dir tables
     qs = build_queries()
     for name in [
@@ -135,6 +160,7 @@ def run_bench() -> dict:
         "n_tokens": n_tok,
         "tokens_per_sec": round(n_tok / headline, 0),
         "bytes_out": bytes_out,
+        "tokenize_tokens_per_sec": round(tok_ntok / max(tokenize_s, 1e-9), 0),
         "read_core_s": round(sum(m["read_s"] for m in mets), 2),
         "encode_core_s": round(sum(m["encode_s"] for m in mets), 2),
         "partitions": len(mets),

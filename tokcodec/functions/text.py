@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from tokcodec.functions.hashing import fnv1a_batch, fnv1a_spans
+from tokcodec.functions.hashing import fnv1a_batch, fnv1a_spans, hash_str
 
 WORD_RE = r"[A-Za-z0-9]+"  # identical semantics in pyarrow (RE2) and DuckDB
 NONWORD_RE = r"[^A-Za-z0-9]+"  # split form: split + drop empties == findall
@@ -30,12 +30,16 @@ for _r in (range(48, 58), range(65, 91), range(97, 123)):
 
 def word_spans(
     texts: pa.Array | pa.ChunkedArray,
+    lut: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
     """Vectorized word extraction with NO string materialization:
     (byte buffer, word starts, word lengths, doc index per word, n_docs).
     Word runs are found by a byte-class LUT over the flat UTF-8 buffer —
-    equivalent to per-doc ``re.findall(WORD_RE, s)``; runs touching a doc
-    boundary are split there."""
+    equivalent to per-doc ``re.findall(WORD_RE, s)`` with the default
+    LUT; pass a custom 256-bool `lut` for other ASCII character classes.
+    Runs touching a doc boundary are split there."""
+    if lut is None:
+        lut = _WORD_LUT
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
@@ -51,7 +55,7 @@ def word_spans(
     if len(data) == 0:
         z = np.empty(0, np.int64)
         return data, z, z, z, n
-    w = _WORD_LUT[data]
+    w = lut[data]
     # run boundaries from one boolean-XOR pass (runs alternate, so the
     # split into starts/ends is determined by w[0]/w[-1])
     t = np.flatnonzero(w[1:] != w[:-1]) + 1
@@ -79,24 +83,24 @@ def word_spans(
 
 def split_words(
     texts: pa.Array | pa.ChunkedArray,
+    lut: np.ndarray | None = None,
 ) -> tuple[pa.Array, np.ndarray, int]:
     """Vectorized word extraction: (flat word array, doc index per word,
     n_docs).  Equivalent to per-doc ``re.findall(WORD_RE, s)``."""
-    data, starts, lengths, doc_idx, n = word_spans(texts)
+    data, starts, lengths, doc_idx, n = word_spans(texts, lut=lut)
     total = int(lengths.sum())
     out_off = np.empty(len(starts) + 1, dtype=np.int64)
     out_off[0] = 0
     np.cumsum(lengths, out=out_off[1:])
-    # compact gather: each word's bytes into one contiguous buffer
-    idx = (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(out_off[:-1], lengths)
-        + np.repeat(starts, lengths)
-    )
+    # compact gather: each word's bytes into one contiguous buffer (one
+    # repeat of the per-word shift + an in-place add — no extra temps)
+    idx = np.arange(total, dtype=np.int64)
+    idx += np.repeat(starts - out_off[:-1], lengths)
+    out_data = data[idx]
     flat = pa.Array.from_buffers(
         pa.large_utf8(),
         len(starts),
-        [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(data[idx].tobytes())],
+        [None, pa.py_buffer(out_off), pa.py_buffer(out_data)],
     )
     return flat, doc_idx, n
 
@@ -143,30 +147,52 @@ _STOPWORDS = {
 
 
 class LangId:
-    """n-gram/stopword language heuristic as a stateful actor-pool stage:
-    tables built once per actor in __init__, per-batch work vectorized
-    through pandas string ops."""
+    """Stopword-vote language heuristic as a stateful actor-pool stage:
+    tables and the [a-z] byte LUT are built once per actor in __init__;
+    per-batch work is fully vectorized (utf8_lower + slice, LUT word
+    runs, pc.is_in per language, bincount votes — no per-row Python).
+    Prediction = first language (en, de, fr, es order) with strictly
+    more stopword hits than any earlier one; 'unknown' when zero hits,
+    matching the original scalar loop's semantics."""
+
+    PREFIX = 2000  # score only the head of each doc
 
     def __init__(self, text_col: str = "text", out: str = "lang_pred"):
-        import re
-
         self.text_col = text_col
         self.out = out
-        self.word = re.compile(r"[a-z]+")
-        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.langs = list(_STOPWORDS)
+        # hashed stopword tables: membership = sorted-array search over
+        # FNV-64 word hashes (no word-string materialization per batch)
+        self.hash_tables = [
+            np.sort(
+                np.array([hash_str(w) for w in _STOPWORDS[lang]], dtype=np.uint64)
+            )
+            for lang in self.langs
+        ]
+        lut = np.zeros(256, dtype=bool)
+        lut[np.arange(ord("a"), ord("z") + 1)] = True  # [a-z]+, not alnum
+        self.lut = lut
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        preds = []
-        for s in texts:
-            words = self.word.findall((s or "").lower()[:2000])
-            best, best_hits = "unknown", 0
-            for lang, table in self.tables.items():
-                hits = sum(1 for w in words if w in table)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
-        return batch.append_column(self.out, pa.array(preds, type=pa.string()))
+        col = batch.column(self.text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lowered = pc.utf8_slice_codeunits(
+            pc.utf8_lower(pc.fill_null(col, "")), 0, self.PREFIX
+        )
+        data, starts, lens, doc_idx, n = word_spans(lowered, lut=self.lut)
+        h = fnv1a_spans(data, starts, lens)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for li, table in enumerate(self.hash_tables):
+            pos = np.searchsorted(table, h)
+            hit = table[np.minimum(pos, len(table) - 1)] == h
+            if hit.any():
+                scores[:, li] = np.bincount(doc_idx[hit], minlength=n)
+        best = scores.argmax(axis=1)  # first max wins, like the scalar loop
+        preds = np.array(self.langs, dtype=object)[best]
+        preds[scores.max(axis=1) == 0] = "unknown"
+        return batch.append_column(
+            self.out, pa.array(preds.tolist(), type=pa.string())
+        )
 
 
 VOCAB = 50257
