@@ -206,6 +206,98 @@ def ivf_topk(ds, centroids: np.ndarray, query: np.ndarray, k: int = 10,
     return out
 
 
+def ivf_partition(ds, centroids: np.ndarray, out_dir: str,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Build-time IVF partitioning: assign every vector to its nearest
+    centroid inside map_batches and write hive-partitioned parquet
+    (`cent=<c>/` directories).  This is the real IVF scale path — the
+    one all-to-all happens ONCE at build, and every later query reads
+    only its probed partitions' files instead of scanning the corpus."""
+    import ray
+
+    cref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("cent", pa.array([], pa.int32()))
+        cents = ray.get(cref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        a = (m @ cents.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("cent", pa.array(a))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["cent"]
+    )
+
+
+def ivf_topk_partitioned(out_dir: str, centroids: np.ndarray, query: np.ndarray,
+                         k: int = 10, n_probe: int = 4,
+                         id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF search over an `ivf_partition` layout: ONLY the probed
+    centroids' partition directories are read (partition pruning at the
+    file listing — the corpus outside the probe set costs nothing);
+    within a batch each query scores just its own probed centroids'
+    vectors.  Same output contract as ivf_topk."""
+    import os
+
+    import ray
+    import ray.data
+
+    q = _normalize(np.asarray(query, dtype=np.float64))
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    needed = sorted({int(c) for row in probes for c in row})
+    paths = []
+    for c in needed:
+        d = f"{out_dir}/cent={c}"
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return []
+    qref = ray.put(q)
+    pref = ray.put(probes)
+    cref = ray.put(cents)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk(id_col)
+        qm, prb, cm = ray.get(qref), ray.get(pref), ray.get(cref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = np.asarray(batch.column(id_col))
+        # re-derive the centroid assignment (identical to build time —
+        # cheaper than depending on hive-key inference for subdir reads)
+        cent = (m @ cm.T).argmax(axis=1)
+        out = []
+        for qi in range(qm.shape[0]):
+            keep = np.isin(cent, prb[qi])
+            if not keep.any():
+                continue
+            sims = m[keep] @ qm[qi]
+            kk = min(k, int(keep.sum()))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            kept_ids = ids[keep]
+            out.extend(
+                {"query": qi, id_col: int(kept_ids[i]), "sim": float(sims[i])}
+                for i in top
+            )
+        return pa.Table.from_pylist(out) if out else _empty_topk(id_col)
+
+    ds = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    partials = ds.map_batches(score, batch_format="pyarrow").take_all()
+    byq: dict[int, list] = {}
+    for r in partials:
+        byq.setdefault(r["query"], []).append((-r["sim"], r[id_col]))
+    out = []
+    for qi in sorted(byq):
+        for negs, vid in heapq.nsmallest(k, sorted(byq[qi])):
+            out.append({"query": qi, id_col: vid, "sim": round(-negs, 4)})
+    return out
+
+
 # all-pairs cap per signature bucket: a degenerate bucket (identical /
 # zero vectors) otherwise makes the m @ m.T quadratic.  Oversized buckets
 # are split by sorted id into chunks of this size and the drop is logged.

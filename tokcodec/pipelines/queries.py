@@ -515,6 +515,21 @@ def ann_ivf_recall(sf_dir: str):
     return _recall_ok_queries(sf_dir, rows)
 
 
+def ann_ivf_partitioned_recall(sf_dir: str):
+    """The IVF SCALE path: corpus hive-partitioned by nearest centroid
+    at build (one shuffle, once), probes read only matching partition
+    dirs; recall@5 vs brute force >= 0.6 per query."""
+    import tempfile
+
+    ds = _rp(sf_dir, "embeddings")
+    cents = ann.ivf_build(ds, k=16)
+    out = tempfile.mkdtemp(prefix="ivfpart_", dir="/tmp")
+    ann.ivf_partition(ds, cents, out)
+    q = _query_matrix(sf_dir, n=3)
+    rows = ann.ivf_topk_partitioned(out, cents, q, k=5, n_probe=8)
+    return _recall_ok_queries(sf_dir, rows)
+
+
 def embedding_dups(sf_dir: str):
     import ray.data
 
@@ -616,6 +631,7 @@ def build_queries() -> dict:
         "ann_ivf": ann_ivf,
         "ann_lsh_recall": ann_lsh_recall,
         "ann_ivf_recall": ann_ivf_recall,
+        "ann_ivf_partitioned_recall": ann_ivf_partitioned_recall,
         "embedding_dups": embedding_dups,
         "multimodal_meta_documents": multimodal_meta_documents,
         "multimodal_features": multimodal_features,
@@ -737,6 +753,9 @@ def build_oracle_sql() -> dict:
             "SELECT vec_id AS query FROM embeddings WHERE vec_id IN (0, 1, 2)"
         ),
         "ann_ivf_recall": (
+            "SELECT vec_id AS query FROM embeddings WHERE vec_id IN (0, 1, 2)"
+        ),
+        "ann_ivf_partitioned_recall": (
             "SELECT vec_id AS query FROM embeddings WHERE vec_id IN (0, 1, 2)"
         ),
     }
