@@ -358,6 +358,25 @@ def join_lineitem_orders(sf_dir: str):
     )
 
 
+def shuffle_join_lineitem_orders(sf_dir: str):
+    """Hash-partitioned SHUFFLE join via Ray Data's native Dataset.join —
+    the fallback plan when the build side exceeds _BROADCAST_MAX_ROWS
+    (both sides exchange by key hash; no driver-side state at all).
+    Same result as the broadcast variant, checked by the same oracle."""
+    from ray.data.aggregate import Count
+
+    li = _rp(sf_dir, "lineitem", columns=["l_orderkey"])
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return joined.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+
+
 def having_orders(sf_dir: str):
     """GROUP BY + HAVING: aggregate then vectorized post-filter."""
     from ray.data.aggregate import Count
@@ -621,6 +640,7 @@ def build_queries() -> dict:
         "window_events": window_events,
         "sessionize_events": sessionize_events,
         "join_lineitem_orders": join_lineitem_orders,
+        "shuffle_join_lineitem_orders": shuffle_join_lineitem_orders,
         "having_orders": having_orders,
         "antijoin_customers": antijoin_customers,
         "dedup_exact_documents": dedup_exact_documents,
@@ -720,6 +740,10 @@ def build_oracle_sql() -> dict:
             "GROUP BY user_id, session_id"
         ),
         "join_lineitem_orders": (
+            "SELECT o_orderpriority, COUNT(*) AS n FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+        ),
+        "shuffle_join_lineitem_orders": (
             "SELECT o_orderpriority, COUNT(*) AS n FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
         ),
