@@ -187,3 +187,99 @@ def test_nested_column_vs_column(nested_table):
     t = nested_table.append_column("zip2", pa.array([10, 25, 30], pa.int64()))
     got = (col("addr.zip") == col("zip2")).filter_table(t)
     assert got.column("id").to_pylist() == [1, 3]
+
+
+# --------------------------- round-2 code-review regression fixes ----
+
+
+def test_nan_block_not_pruned():
+    """A NaN-bearing float column publishes no min/max, but that must
+    mean 'no claim', NOT 'all null' — comparison predicates must keep
+    the block and let the residual filter decide."""
+    t = pa.table({"f": pa.array([1.0, float("nan"), 2.0], pa.float64())})
+    st = header_stats(read_header(encode_table(t)))
+    e = col("f") == 1.0
+    assert e.stats_may_match(st)  # was wrongly False (silent data loss)
+    assert col("f").isin([2.0]).stats_may_match(st)
+    # truly all-null still prunes comparisons
+    t2 = pa.table({"f": pa.array([None, None], pa.float64())})
+    st2 = header_stats(read_header(encode_table(t2)))
+    assert not (col("f") == 1.0).stats_may_match(st2)
+
+
+def test_word_spans_on_sliced_array():
+    from tokcodec.functions.text import split_words
+
+    arr = pa.array(["hello world", "foo bar", "baz qux", "last doc"])
+    flat, doc_idx, n = split_words(arr.slice(1, 2))
+    assert n == 2
+    assert flat.to_pylist() == ["foo", "bar", "baz", "qux"]
+    assert doc_idx.tolist() == [0, 0, 1, 1]
+
+
+def test_decode_file_predicate_outside_projection(tmp_path):
+    """Filtering on a column excluded from the projection decodes that
+    column for the filter, then drops it — pruned and surviving blocks
+    return the same schema."""
+    lo = pa.table({"a": pa.array([1, 2]), "b": pa.array([10, 20])})
+    hi = pa.table({"a": pa.array([3, 4]), "b": pa.array([100, 200])})
+    p_lo, p_hi = str(tmp_path / "lo.tokb"), str(tmp_path / "hi.tokb")
+    open(p_lo, "wb").write(encode_table(lo))
+    open(p_hi, "wb").write(encode_table(hi))
+    e = col("b") > 20
+    t1, _ = decode_file(p_lo, columns=["a"], predicate=e)  # zone-pruned
+    t2, _ = decode_file(p_hi, columns=["a"], predicate=e)  # survives
+    assert t1.schema.names == ["a"] and t1.num_rows == 0
+    assert t2.schema.names == ["a"] and t2.column("a").to_pylist() == [3, 4]
+
+
+def test_string_stats_truncated_and_sound():
+    from tokcodec.blocks import _STR_STAT_MAX
+
+    big_lo = "a" * 5000
+    big_hi = "z" * 5000 + "tail"
+    t = pa.table({"s": pa.array([big_lo, "mmm", big_hi])})
+    header = read_header(encode_table(t))
+    assert len(__import__("json").dumps(header)) < 20_000  # bounded header
+    st = header_stats(header)
+    s = st["s"]
+    assert len(s["min"]) <= _STR_STAT_MAX
+    assert len(s["max"]) <= _STR_STAT_MAX
+    # bounds remain SOUND: min <= every value <= max
+    assert s["min"] <= big_lo and s["min"] <= "mmm"
+    assert big_hi <= s["max"] and "mmm" <= s["max"]
+    # and pruning decisions using them stay conservative
+    assert (col("s") == "mmm").stats_may_match(st)
+    assert (col("s") == big_hi).stats_may_match(st)
+    assert not (col("s") == chr(0x10FFFF) * 3).stats_may_match(st)
+
+
+def test_window_events_null_ts(ray_session):
+    import ray.data
+
+    from tokcodec.pipelines.queries import window_events  # noqa: F401  (shape only)
+
+    # exercise the add_win body via a dataset with a null timestamp
+    import datetime
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "b"]),
+            "ts": pa.array(
+                [datetime.datetime(2020, 1, 1), None, datetime.datetime(1960, 1, 1)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    import pyarrow.parquet as pq_
+
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    pq_.write_table(t, os.path.join(d, "events.parquet"))
+    out = window_events(d).to_pandas()
+    # 3 groups: (a, win2020), (a, NULL), (b, negative win floored toward -inf)
+    assert len(out) == 3
+    neg = out[out["event_type"] == "b"]["win"].iloc[0]
+    assert neg == (int(datetime.datetime(1960, 1, 1).timestamp() * 1e6) // 3_600_000_000)
+    assert out["win"].isna().sum() == 1

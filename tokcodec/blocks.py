@@ -220,6 +220,17 @@ def _unflatten(node: dict, get_seg) -> dict:
 
 
 _STATS_TYPES = _INT_TYPES | _FLOAT_TYPES | {pa.bool_(), pa.string(), pa.large_string()}
+_STR_STAT_MAX = 64  # string stats truncation bound (header stays O(KB))
+
+
+def _string_upper_bound(prefix: str) -> str | None:
+    """Smallest convenient string > every string starting with `prefix`:
+    increment the last non-U+10FFFF character and drop the tail."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
 
 
 def _stat_to_json(v):
@@ -278,6 +289,16 @@ def column_stats(arr: pa.Array) -> dict | None:
     lo, hi = mm["min"].as_py(), mm["max"].as_py()
     if lo is None or hi is None:
         return out
+    if isinstance(lo, str):
+        # bound header size (Parquet truncates stats the same way): a
+        # prefix of min is a valid lower bound; for max, increment the
+        # prefix's last char to get a valid upper bound
+        if len(lo) > _STR_STAT_MAX:
+            lo = lo[:_STR_STAT_MAX]
+        if len(hi) > _STR_STAT_MAX:
+            hi = _string_upper_bound(hi[:_STR_STAT_MAX])
+            if hi is None:
+                return out  # unboundable prefix: publish no min/max
     out["min"] = _stat_to_json(lo)
     out["max"] = _stat_to_json(hi)
     return out
@@ -367,7 +388,9 @@ def decode_file(
     the header is read first; if the predicate's zone-map check proves no
     row can match, the payload is never read and an empty (correctly
     pruned) table returns.  Matching blocks decode then re-filter
-    residually — exact WHERE semantics either way."""
+    residually — exact WHERE semantics either way.  Predicate columns
+    outside `columns` are decoded for the filter, then dropped, so the
+    projection contract holds whether or not a block was pruned."""
     header = read_header_file(path)
     if predicate is not None and not predicate.stats_may_match(header_stats(header)):
         schema = header_schema(header)
@@ -377,10 +400,17 @@ def decode_file(
                 raise ValueError(f"Invalid fields: {sorted(missing)}")
             schema = pa.schema([schema.field(c) for c in schema.names if c in columns])
         return schema.empty_table(), header["meta"]
+    decode_cols = columns
+    if predicate is not None and columns is not None:
+        extra = getattr(predicate, "columns", frozenset()) - set(columns)
+        if extra:
+            decode_cols = list(columns) + sorted(extra)
     with open(path, "rb") as f:
-        t, meta = decode_table(f.read(), columns=columns)
+        t, meta = decode_table(f.read(), columns=decode_cols)
     if predicate is not None:
         t = predicate.filter_table(t)
+        if decode_cols is not columns and columns is not None:
+            t = t.select([c for c in t.column_names if c in set(columns)])
     return t, meta
 
 

@@ -40,6 +40,20 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _merge_topk(partials: list[dict], k: int, id_col: str) -> list[dict]:
+    """Fold per-block partial top-k rows into the global per-query top-k
+    (ties broken by (-sim, id); sims rounded to 4dp) — the single
+    definition of the output contract for every *_topk operator."""
+    byq: dict[int, list] = {}
+    for r in partials:
+        byq.setdefault(r["query"], []).append((-r["sim"], r[id_col]))
+    out = []
+    for qi in sorted(byq):
+        for negs, vid in heapq.nsmallest(k, sorted(byq[qi])):
+            out.append({"query": qi, id_col: vid, "sim": round(-negs, 4)})
+    return out
+
+
 def brute_force_topk(ds, query: np.ndarray, k: int = 10, id_col: str = "vec_id",
                      vec_col: str = "embedding"):
     """Exact top-k cosine neighbors for each query row.  The query matrix
@@ -69,14 +83,7 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10, id_col: str = "vec_id",
         return pa.Table.from_pylist(out)
 
     partials = ds.map_batches(score, batch_format="pyarrow").take_all()  # tiny: q×k rows per block
-    byq: dict[int, list] = {}
-    for r in partials:
-        byq.setdefault(r["query"], []).append((-r["sim"], r[id_col]))
-    out = []
-    for qi in sorted(byq):
-        for negs, vid in heapq.nsmallest(k, sorted(byq[qi])):
-            out.append({"query": qi, id_col: vid, "sim": round(-negs, 4)})
-    return out
+    return _merge_topk(partials, k, id_col)
 
 
 def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -130,14 +137,7 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 4,
         return pa.Table.from_pylist(out)
 
     partials = ds.map_batches(score, batch_format="pyarrow").take_all()
-    byq: dict[int, list] = {}
-    for r in partials:
-        byq.setdefault(r["query"], []).append((-r["sim"], r[id_col]))
-    out = []
-    for qi in sorted(byq):
-        for negs, vid in heapq.nsmallest(k, sorted(byq[qi])):
-            out.append({"query": qi, id_col: vid, "sim": round(-negs, 4)})
-    return out
+    return _merge_topk(partials, k, id_col)
 
 
 def ivf_build(ds, k: int = 16, sample_rows: int = 4096, iters: int = 10,
@@ -196,14 +196,7 @@ def ivf_topk(ds, centroids: np.ndarray, query: np.ndarray, k: int = 10,
         return pa.Table.from_pylist(out)
 
     partials = ds.map_batches(score, batch_format="pyarrow").take_all()
-    byq: dict[int, list] = {}
-    for r in partials:
-        byq.setdefault(r["query"], []).append((-r["sim"], r[id_col]))
-    out = []
-    for qi in sorted(byq):
-        for negs, vid in heapq.nsmallest(k, sorted(byq[qi])):
-            out.append({"query": qi, id_col: vid, "sim": round(-negs, 4)})
-    return out
+    return _merge_topk(partials, k, id_col)
 
 
 def ivf_partition(ds, centroids: np.ndarray, out_dir: str,
@@ -288,14 +281,7 @@ def ivf_topk_partitioned(out_dir: str, centroids: np.ndarray, query: np.ndarray,
 
     ds = ray.data.read_parquet(paths, columns=[id_col, vec_col])
     partials = ds.map_batches(score, batch_format="pyarrow").take_all()
-    byq: dict[int, list] = {}
-    for r in partials:
-        byq.setdefault(r["query"], []).append((-r["sim"], r[id_col]))
-    out = []
-    for qi in sorted(byq):
-        for negs, vid in heapq.nsmallest(k, sorted(byq[qi])):
-            out.append({"query": qi, id_col: vid, "sim": round(-negs, 4)})
-    return out
+    return _merge_topk(partials, k, id_col)
 
 
 # all-pairs cap per signature bucket: a degenerate bucket (identical /

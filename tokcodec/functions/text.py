@@ -52,6 +52,14 @@ def word_spans(
         if bufs[2] is not None
         else np.empty(0, np.uint8)
     )
+    if len(off):
+        # sliced arrays share the parent buffer: scan ONLY this slice's
+        # byte window, else out-of-slice bytes become phantom words and
+        # runs merge across the slice boundary
+        base = int(off[0])
+        data = data[base : int(off[-1])]
+        if base:
+            off = off - base
     if len(data) == 0:
         z = np.empty(0, np.int64)
         return data, z, z, z, n

@@ -63,17 +63,18 @@ def _chunk_cut_rows(
     token_col: str,
     row_offset: int,
     base_mass: int,
-    cut_vals: list[float],
+    cut_vals: list[int],
 ) -> list[tuple[int, int]]:
-    """Stats wave 2: for each global cut value v assigned to this chunk,
-    return (global boundary row b, global cum-mass at b-1).  Exactly
-    replicates ``searchsorted(global_cum, v)`` because global_cum[i] =
-    base_mass + local_cum[i - row_offset] within the chunk."""
+    """Stats wave 2: for each global integer cut value v assigned to this
+    chunk, return (global boundary row b, global cum-mass at b-1).
+    Exactly replicates ``searchsorted(global_cum, v)`` because
+    global_cum[i] = base_mass + local_cum[i - row_offset] within the
+    chunk, and all arithmetic is integer-exact."""
     mass = _ntok_chunk(path, rg_lo, rg_hi, token_col)
     cum = np.cumsum(mass)
     out = []
     for v in cut_vals:
-        bl = int(np.searchsorted(cum, v - base_mass))
+        bl = int(np.searchsorted(cum, int(v) - base_mass))
         bl = min(bl, len(cum))
         cum_bm1 = base_mass + (int(cum[bl - 1]) if bl > 0 else 0)
         out.append((row_offset + bl, cum_bm1))
@@ -102,10 +103,14 @@ def _file_token_plan(
     cum = np.cumsum(mass)
     total = int(cum[-1])
     n_parts = max(1, round(total / target_tokens))
-    # equal-mass boundaries; a single monster row stays alone in its part
+    # equal-mass boundaries; a single monster row stays alone in its part.
+    # Cut values are EXACT integers (ceil in int arithmetic): identical
+    # to searchsorted-against-float for in-range masses, and still exact
+    # past float64's 2^53 where k*total/n_parts would round
     bounds = [0]
     for k in range(1, n_parts):
-        b = int(np.searchsorted(cum, k * total / n_parts))
+        cut = -((-k * total) // n_parts)
+        b = int(np.searchsorted(cum, cut))
         if b > bounds[-1]:
             bounds.append(b)
     bounds.append(n_rows)
@@ -183,9 +188,9 @@ def _plan_distributed(
         ends = np.cumsum(chunk_tot)
         total = int(ends[-1]) if len(ends) else 0
         n_parts = max(1, round(total / target_tokens))
-        cut_vals = [k * total / n_parts for k in range(1, n_parts)]
+        cut_vals = [-((-k * total) // n_parts) for k in range(1, n_parts)]
         file_cfg[fi] = {"total": total}
-        per_chunk: dict[int, list[float]] = {}
+        per_chunk: dict[int, list[int]] = {}
         for v in cut_vals:
             ci = int(np.searchsorted(ends, v))  # first chunk with end >= v
             ci = min(ci, len(cl) - 1)

@@ -271,13 +271,18 @@ def window_events(sf_dir: str):
 
     def add_win(batch: pa.Table) -> pa.Table:
         # exact integer floor division (numpy // floors toward -inf) so
-        # pre-1970 timestamps agree with DuckDB's floor(epoch(ts)/3600)
-        mic = batch.column("ts").cast(pa.int64()).combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
+        # pre-1970 timestamps agree with DuckDB's floor(epoch(ts)/3600);
+        # nulls propagate to a null window (DuckDB groups them as NULL)
+        arr = batch.column("ts").cast(pa.int64()).combine_chunks()
+        mic = pc.fill_null(arr, 0).to_numpy(zero_copy_only=False)
         win = mic // 3_600_000_000
+        mask = (
+            pc.is_null(arr).to_numpy(zero_copy_only=False)
+            if arr.null_count
+            else None
+        )
         return batch.append_column(
-            "win", pa.array(win, type=pa.int64())
+            "win", pa.array(win, type=pa.int64(), mask=mask)
         ).drop_columns(["ts"])
 
     return (

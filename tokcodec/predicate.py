@@ -67,11 +67,15 @@ class Expr:
         to_mask: Callable[[pa.Table], pa.ChunkedArray],
         desc: str,
         stats_fn: Callable[[dict], bool] | None = None,
+        columns: frozenset[str] = frozenset(),
     ):
         self._to_ds = to_ds
         self._to_mask = to_mask
         self.desc = desc
         self._stats_fn = stats_fn or _always_true
+        #: top-level column names this expression reads (for decode-time
+        #: column-set widening when a projection excludes filter columns)
+        self.columns = columns
 
     # ---- pushdown form (FilterPredicate analog)
     def dataset_filter(self) -> pads.Expression:
@@ -100,6 +104,7 @@ class Expr:
             lambda t: pc.and_kleene(self.mask(t), other.mask(t)),
             f"({self.desc} && {other.desc})",
             lambda s: self.stats_may_match(s) and other.stats_may_match(s),
+            self.columns | other.columns,
         )
 
     def __or__(self, other: "Expr") -> "Expr":
@@ -108,6 +113,7 @@ class Expr:
             lambda t: pc.or_kleene(self.mask(t), other.mask(t)),
             f"({self.desc} || {other.desc})",
             lambda s: self.stats_may_match(s) or other.stats_may_match(s),
+            self.columns | other.columns,
         )
 
     def __invert__(self) -> "Expr":
@@ -117,6 +123,8 @@ class Expr:
             lambda: ~self.dataset_filter(),
             lambda t: pc.invert(self.mask(t)),
             f"!({self.desc})",
+            None,
+            self.columns,
         )
 
 
@@ -129,8 +137,10 @@ def _cmp_stats(parts: tuple[str, ...], op: str, lit: Any) -> Callable[[dict], bo
         if s is None:
             return True
         if "min" not in s or "max" not in s:
-            # all-null column: every comparison is null → filtered out
-            return False
+            # min/max absent: prune ONLY when provably all-null (every
+            # comparison null → filtered); otherwise the stats were
+            # withheld (NaN-bearing floats, oversized strings) — no claim
+            return s.get("nulls", 0) < s.get("n", 1)
         lo, hi = s["min"], s["max"]
         if op == ">":
             return hi > lit
@@ -176,12 +186,15 @@ class Col:
                 lambda: getattr(self._ds_field(), _DUNDER[op])(other._ds_field()),
                 lambda t: pc_fn(_resolve(t, parts), _resolve(t, oparts)),
                 f"{name} {op} {other.name}",
+                None,
+                frozenset({parts[0], oparts[0]}),
             )
         return Expr(
             lambda: getattr(self._ds_field(), _DUNDER[op])(pa.scalar(other)),
             lambda t: pc_fn(_resolve(t, parts), _coerce(other, _resolve(t, parts).type)),
             f"{name} {op} {other!r}",
             _cmp_stats(parts, op, other),
+            frozenset({parts[0]}),
         )
 
     def __gt__(self, o):
@@ -214,6 +227,7 @@ class Col:
             lambda t: pc.is_null(_resolve(t, parts)),
             f"{name} is null",
             stats_fn,
+            frozenset({parts[0]}),
         )
 
     def is_valid(self) -> Expr:
@@ -230,6 +244,7 @@ class Col:
             lambda t: pc.is_valid(_resolve(t, parts)),
             f"{name} is not null",
             stats_fn,
+            frozenset({parts[0]}),
         )
 
     def isin(self, values) -> Expr:
@@ -241,7 +256,7 @@ class Col:
             if s is None:
                 return True
             if "min" not in s or "max" not in s:
-                return False
+                return s.get("nulls", 0) < s.get("n", 1)
             return any(s["min"] <= v <= s["max"] for v in vals)
 
         return Expr(
@@ -249,6 +264,7 @@ class Col:
             lambda t: pc.is_in(_resolve(t, parts), value_set=pa.array(vals)),
             f"{name} in {vals!r}",
             stats_fn,
+            frozenset({parts[0]}),
         )
 
     def true_(self) -> Expr:
