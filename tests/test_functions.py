@@ -418,3 +418,36 @@ def test_ivf_partitioned_matches_compute_side(ray_session, tmp_path):
 
     dirs = [p for p in os.listdir(out) if p.startswith("cent=")]
     assert len(dirs) >= 4  # corpus actually spread over centroids
+
+
+def test_asof_join_backward_semantics(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from tokcodec.functions.joins import asof_join
+
+    T = lambda s: dt.datetime(2020, 1, s)
+    left = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+            "ts": pa.array([T(5), T(10), T(2), T(5)], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "o_custkey": pa.array([7, 7, 8], pa.int64()),
+            "o_orderdate": pa.array([T(3), T(8), T(1)], pa.timestamp("us")),
+        }
+    )
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        left_cols=["event_id"], out_ts="o_orderdate",
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # event 1 (t5) -> order t3; event 2 (t10) -> t8; event 3 (t2): no
+    # order <= t2 -> dropped (inner); event 4: key 9 has no orders -> dropped
+    assert out["event_id"].tolist() == [1, 2]
+    assert [d.day for d in out["o_orderdate"]] == [3, 8]

@@ -382,6 +382,28 @@ def shuffle_join_lineitem_orders(sf_dir: str):
     return joined.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
 
 
+def asof_join_events_orders(sf_dir: str):
+    """As-of join (operator Ray Data lacks, built as a co-group
+    composition): each event matched to the customer's latest order at
+    or before the event time; oracle = DuckDB's native ASOF JOIN.
+    Emits the matched order date (deterministic under ties) rather than
+    an arbitrary tied order's id."""
+    from tokcodec.functions.joins import asof_join
+
+    ev = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    return asof_join(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_cols=["event_id"],
+        out_ts="o_orderdate",
+    )
+
+
 def having_orders(sf_dir: str):
     """GROUP BY + HAVING: aggregate then vectorized post-filter."""
     from ray.data.aggregate import Count
@@ -646,6 +668,7 @@ def build_queries() -> dict:
         "sessionize_events": sessionize_events,
         "join_lineitem_orders": join_lineitem_orders,
         "shuffle_join_lineitem_orders": shuffle_join_lineitem_orders,
+        "asof_join_events_orders": asof_join_events_orders,
         "having_orders": having_orders,
         "antijoin_customers": antijoin_customers,
         "dedup_exact_documents": dedup_exact_documents,
@@ -751,6 +774,10 @@ def build_oracle_sql() -> dict:
         "shuffle_join_lineitem_orders": (
             "SELECT o_orderpriority, COUNT(*) AS n FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+        ),
+        "asof_join_events_orders": (
+            "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o "
+            "ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts"
         ),
         "having_orders": (
             "SELECT o_custkey, COUNT(*) AS n FROM orders "
