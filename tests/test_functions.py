@@ -451,3 +451,51 @@ def test_asof_join_backward_semantics(ray_session):
     # order <= t2 -> dropped (inner); event 4: key 9 has no orders -> dropped
     assert out["event_id"].tolist() == [1, 2]
     assert [d.day for d in out["o_orderdate"]] == [3, 8]
+
+
+def test_band_join_count_semantics(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from tokcodec.functions.joins import band_join_count
+
+    T = lambda h: dt.datetime(2020, 1, 1, h)
+    left = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 9], pa.int64()),
+            "ts": pa.array([T(5), T(12), T(5)], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "ts": pa.array([T(4), T(6), T(20)], pa.timestamp("us")),
+        }
+    )
+    out = band_join_count(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_key="user_id", right_key="user_id", left_ts="ts", right_ts="ts",
+        left_cols=["event_id"],
+        lo_offset_us=-3_600_000_000, hi_offset_us=3_600_000_000,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # event 1 (t5): right t4 and t6 within ±1h -> 2; event 2 (t12): none;
+    # event 3: key 9 has no right rows -> dropped
+    assert out["event_id"].tolist() == [1]
+    assert out["n"].tolist() == [2]
+
+
+def test_hll_accuracy_and_determinism(ray_session):
+    import ray.data
+
+    from tokcodec.functions.sketch import hll_count_distinct
+
+    rng = np.random.default_rng(1)
+    vals = rng.choice(np.arange(5000, dtype=np.int64) * 7919 + 13, size=20000)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)})).repartition(8)
+    est1 = hll_count_distinct(ds, "x")
+    est2 = hll_count_distinct(ds, "x")
+    exact = len(np.unique(vals))
+    assert est1 == est2  # deterministic
+    assert abs(est1 - exact) / exact < 0.05

@@ -404,6 +404,44 @@ def asof_join_events_orders(sf_dir: str):
     )
 
 
+def band_join_events(sf_dir: str):
+    """Range (band) self-join: per event, the count of the same user's
+    events within ±1 hour (activity density, includes the event itself)
+    — co-group + per-group vectorized interval counting; oracle = the
+    equivalent inequality join in DuckDB."""
+    from tokcodec.functions.joins import band_join_count
+
+    ev = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    ev2 = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    return band_join_count(
+        ev,
+        ev2,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_cols=["event_id"],
+        lo_offset_us=-3_600_000_000,
+        hi_offset_us=3_600_000_000,
+    )
+
+
+def distinct_users_hll(sf_dir: str):
+    """HyperLogLog distinct-count sketch with an accuracy bar: the Ray
+    side emits (n_exact, ok=|est-exact|/exact <= 5%); the oracle emits
+    (COUNT(DISTINCT), true) — hash-equal iff the exact counts agree AND
+    the sketch meets the bar."""
+    from tokcodec.functions.sketch import hll_count_distinct
+
+    ds = _rp(sf_dir, "events", columns=["user_id"])
+    est = hll_count_distinct(ds, "user_id")
+    exact = len(_rp(sf_dir, "events", columns=["user_id"]).unique("user_id"))
+    ok = abs(est - exact) / max(exact, 1) <= 0.05
+    return pa.table(
+        {"n_exact": pa.array([exact], pa.int64()), "ok": pa.array([ok], pa.bool_())}
+    )
+
+
 def having_orders(sf_dir: str):
     """GROUP BY + HAVING: aggregate then vectorized post-filter."""
     from ray.data.aggregate import Count
@@ -669,6 +707,8 @@ def build_queries() -> dict:
         "join_lineitem_orders": join_lineitem_orders,
         "shuffle_join_lineitem_orders": shuffle_join_lineitem_orders,
         "asof_join_events_orders": asof_join_events_orders,
+        "band_join_events": band_join_events,
+        "distinct_users_hll": distinct_users_hll,
         "having_orders": having_orders,
         "antijoin_customers": antijoin_customers,
         "dedup_exact_documents": dedup_exact_documents,
@@ -778,6 +818,14 @@ def build_oracle_sql() -> dict:
         "asof_join_events_orders": (
             "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o "
             "ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts"
+        ),
+        "band_join_events": (
+            "SELECT e1.event_id, COUNT(*) AS n FROM events e1 JOIN events e2 "
+            "ON e1.user_id = e2.user_id AND e2.ts >= e1.ts - INTERVAL 1 HOUR "
+            "AND e2.ts <= e1.ts + INTERVAL 1 HOUR GROUP BY e1.event_id"
+        ),
+        "distinct_users_hll": (
+            "SELECT COUNT(DISTINCT user_id) AS n_exact, true AS ok FROM events"
         ),
         "having_orders": (
             "SELECT o_custkey, COUNT(*) AS n FROM orders "
