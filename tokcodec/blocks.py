@@ -64,7 +64,7 @@ def _validity_node(arr: pa.Array) -> dict | None:
     bits = np.packbits(
         pc.is_valid(arr).to_numpy(zero_copy_only=False), bitorder="little"
     )
-    return _node("valid", {"n": len(arr)}, [bits.tobytes()])
+    return _node("valid", {"n": len(arr)}, [bits])
 
 
 def _decode_validity(enc: dict) -> np.ndarray:

@@ -34,7 +34,7 @@ def _narrow_uint(bits: int) -> np.dtype:
     return np.dtype("<u8")
 
 
-def pack(vals: np.ndarray, bits: int) -> bytes:
+def pack(vals: np.ndarray, bits: int) -> np.ndarray | bytes:
     """Pack non-negative integers into `bits` bits each, LSB-first.
 
     Implementation rides numpy's C-speed unpackbits: narrow the values to
@@ -48,7 +48,8 @@ def pack(vals: np.ndarray, bits: int) -> bytes:
         raise ValueError(f"bits must be <= 64, got {bits}")
     dt = _narrow_uint(bits)
     if bits == 8 * dt.itemsize:  # byte-aligned width: plain narrow cast
-        return np.ascontiguousarray(vals.astype(dt, copy=False)).tobytes()
+        # uint8 view, no tobytes copy: consumers use the buffer protocol
+        return np.ascontiguousarray(vals.astype(dt, copy=False)).view(np.uint8).reshape(-1)
     v = vals.astype(dt, copy=False)
     nb = dt.itemsize
     out = []
@@ -57,8 +58,8 @@ def pack(vals: np.ndarray, bits: int) -> bytes:
         bitmat = np.unpackbits(
             c.view(np.uint8).reshape(len(c), nb), axis=1, bitorder="little"
         )[:, :bits]
-        out.append(np.packbits(bitmat.ravel(), bitorder="little").tobytes())
-    return b"".join(out)
+        out.append(np.packbits(bitmat.ravel(), bitorder="little"))
+    return out[0] if len(out) == 1 else np.concatenate(out)
 
 
 def unpack(buf: bytes, bits: int, n: int, dtype=np.uint64) -> np.ndarray:

@@ -30,7 +30,7 @@ def _enc_plain_bytes(arr: pa.Array) -> dict:
     return _node(
         "pbytes",
         {"pa": type_name(arr.type), "n": len(arr)},
-        [data.tobytes()],
+        [np.ascontiguousarray(data)],
         {"len": _best_int(lengths, allow_delta=False)},
     )
 

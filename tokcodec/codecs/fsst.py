@@ -217,7 +217,7 @@ def try_fsst(arr: pa.Array, table: list[bytes] | None = None) -> dict | None:
             "s": S,
             "sl": [int(x) for x in sym_lens],
         },
-        [table_blob, stream.tobytes()],
+        [table_blob, np.ascontiguousarray(stream)],
         {"slen": _best_int(slen, allow_delta=False)},
     )
 

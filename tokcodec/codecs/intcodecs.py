@@ -25,7 +25,7 @@ def _node(c: str, m: dict, p: list[bytes] | None = None, k: dict | None = None) 
 
 
 def _enc_plain(arr: np.ndarray) -> dict:
-    return _node("plain", {"dt": arr.dtype.str, "n": len(arr)}, [arr.tobytes()])
+    return _node("plain", {"dt": arr.dtype.str, "n": len(arr)}, [np.ascontiguousarray(arr).view(np.uint8).reshape(-1)])
 
 
 def _dec_plain(enc: dict) -> np.ndarray:
@@ -301,7 +301,7 @@ def encode_float_auto(arr: np.ndarray) -> dict:
             )
             if _size(enc) < arr.nbytes:
                 return enc
-    return _node("fplain", {"dt": arr.dtype.str, "n": n}, [arr.tobytes()])
+    return _node("fplain", {"dt": arr.dtype.str, "n": n}, [np.ascontiguousarray(arr).view(np.uint8).reshape(-1)])
 
 
 def decode_float(enc: dict) -> np.ndarray:
