@@ -66,7 +66,11 @@ def unpack(buf: bytes, bits: int, n: int, dtype=np.uint64) -> np.ndarray:
     """Inverse of pack(): recover n values of `bits` bits each.
 
     Bits → zero-padded (n, 8*nb) bit matrix → packbits per row → view as
-    the narrow uint dtype; all C-speed."""
+    the narrow uint dtype; all C-speed.  ``dtype=None`` returns the
+    natural narrow uint dtype with NO widening copy (the fast path for
+    decoders that finish in a narrow target dtype anyway)."""
+    if dtype is None:
+        dtype = _narrow_uint(bits if bits else 1)
     if bits == 0 or n == 0:
         return np.zeros(n, dtype=dtype)
     dt = _narrow_uint(bits)

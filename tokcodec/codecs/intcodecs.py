@@ -79,9 +79,20 @@ def _dec_for(enc: dict) -> np.ndarray:
     m = enc["m"]
     if m["n"] == 0:
         return np.empty(0, dtype=np.dtype(m["dt"]))
-    deltas = bitpack.unpack(enc["p"][0], m["b"], m["n"], dtype=np.uint64)
-    vals = deltas.view(np.int64) + np.int64(m["ref"])
-    return vals.astype(np.dtype(m["dt"]), copy=False)
+    target = np.dtype(m["dt"])
+    # unpack at the natural narrow width, widen ONCE straight into the
+    # target dtype (no uint64 intermediate — that was 3x the memory
+    # traffic for int32 tokens).  ref + delta wraps mod 2^bits in the
+    # target's width, which is exact because the results ARE the
+    # original target-dtype values.
+    deltas = bitpack.unpack(enc["p"][0], m["b"], m["n"], dtype=None)
+    out = deltas.astype(target, copy=False)
+    if m["ref"]:
+        if out is deltas or not out.flags.writeable:
+            out = out.copy()
+        with np.errstate(over="ignore"):
+            out += target.type(m["ref"])  # ref is a target-dtype value
+    return out
 
 
 # ---------------------------------------------------------------- delta ----
