@@ -167,3 +167,23 @@ def test_determinism():
     f1, f2 = try_fsst(ids), try_fsst(ids)
     assert [bytes(x) for x in f1["p"]] == [bytes(x) for x in f2["p"]]
     assert f1["m"] == f2["m"]
+
+
+def test_for_decode_wrap_edges():
+    """_dec_for widens once into the stored dtype; the in-place ref add
+    wraps mod 2^N, which must still reproduce extreme-range values
+    exactly (full int32/int64 spans, huge deltas)."""
+    from tokcodec.codecs.intcodecs import _dec_for, _enc_for
+
+    for vals in [
+        np.array([-(2**31), 2**31 - 1, 0, -5], np.int32),
+        np.array([2**63 - 1, -(2**63), 7], np.int64),
+        np.arange(-1000, 1000, dtype=np.int64) * 10**14,
+        np.array([0], np.int32),
+        np.array([], np.int64),
+    ]:
+        got = _dec_for(_enc_for(vals))
+        assert got.dtype == vals.dtype
+        assert (got == vals).all()
+        e2 = encode_int_auto(vals)
+        assert (decode_int(e2).astype(vals.dtype) == vals).all()
