@@ -187,3 +187,17 @@ def test_for_decode_wrap_edges():
         assert (got == vals).all()
         e2 = encode_int_auto(vals)
         assert (decode_int(e2).astype(vals.dtype) == vals).all()
+
+
+def test_for_decode_uint64_high_bit():
+    """uint64 values >= 2^63: _enc_for stores an int64-wrapped ref; the
+    decode-side ref cast must wrap silently on every numpy version."""
+    import warnings
+
+    from tokcodec.codecs.intcodecs import _dec_for, _enc_for
+
+    vals = np.array([2**63, 2**63 + 5, 2**64 - 1], np.uint64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any numpy deprecation -> fail
+        got = _dec_for(_enc_for(vals))
+    assert got.dtype == np.uint64 and (got == vals).all()

@@ -499,3 +499,48 @@ def test_hll_accuracy_and_determinism(ray_session):
     exact = len(np.unique(vals))
     assert est1 == est2  # deterministic
     assert abs(est1 - exact) / exact < 0.05
+
+
+def test_asof_join_preserves_int64_ids(ray_session):
+    """Payload columns must keep exact Arrow types through the co-group
+    (a pandas group frame would promote nullable int64 to float64 and
+    corrupt ids >= 2^53)."""
+    import datetime as dt
+
+    import ray.data
+
+    from tokcodec.functions.joins import asof_join
+
+    big = (1 << 55) + 3
+    left = pa.table(
+        {
+            "event_id": pa.array([big], pa.int64()),
+            "user_id": pa.array([7], pa.int64()),
+            "ts": pa.array([dt.datetime(2020, 1, 5)], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "o_custkey": pa.array([7], pa.int64()),
+            "o_orderdate": pa.array([dt.datetime(2020, 1, 3)], pa.timestamp("us")),
+        }
+    )
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        left_cols=["event_id"], out_ts="o_orderdate",
+    )
+    t = pa.Table.from_pandas(out.to_pandas())
+    assert out.schema().types[0] == pa.int64() or t.column("event_id").type == pa.int64()
+    assert t.column("event_id").to_pylist() == [big]  # exact, not 2^53-rounded
+
+
+def test_hll_excludes_nulls(ray_session):
+    import ray.data
+
+    from tokcodec.functions.sketch import hll_count_distinct
+
+    t = pa.table({"x": pa.array([1, 2, 2, None, None], pa.int64())})
+    est = hll_count_distinct(ray.data.from_arrow(t), "x")
+    assert round(est) == 2  # nulls excluded, like COUNT(DISTINCT)

@@ -28,6 +28,8 @@ WORKER_MODULES = [
     "tokcodec/functions/ann.py",
     "tokcodec/functions/multimodal.py",
     "tokcodec/functions/hashing.py",
+    "tokcodec/functions/joins.py",
+    "tokcodec/functions/sketch.py",
 ]
 
 _LAZY = re.compile(r"^[ \t]+(from tokcodec|import tokcodec)", re.M)

@@ -90,8 +90,12 @@ def _dec_for(enc: dict) -> np.ndarray:
     if m["ref"]:
         if out is deltas or not out.flags.writeable:
             out = out.copy()
+        # array-cast the ref (silent mod-2^N wrap): target.type(negative)
+        # on an unsigned target deprecation-warns on numpy 1.x and raises
+        # on numpy 2.x — e.g. uint64 columns with values >= 2^63
+        ref_t = np.array(m["ref"], dtype=np.int64).astype(target, copy=False)
         with np.errstate(over="ignore"):
-            out += target.type(m["ref"])  # ref is a target-dtype value
+            out += ref_t
     return out
 
 

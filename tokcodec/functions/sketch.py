@@ -13,6 +13,9 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from tokcodec.functions.hashing import fnv1a_batch
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -63,12 +66,14 @@ def hll_count_distinct(ds, column: str, p: int = 12) -> float:
     def partial(batch: pa.Table) -> pa.Table:
         col = batch.column(column)
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # COUNT(DISTINCT) excludes nulls (and a nullable int column would
+        # otherwise round-trip through float64 NaN and corrupt values)
+        if col.null_count:
+            col = pc.drop_null(col)
         if pa.types.is_integer(col.type):
             vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-            h = _mix64(vals.astype(np.int64).view(np.uint64))
+            h = _mix64(vals.astype(np.int64, copy=False).view(np.uint64))
         else:
-            from tokcodec.functions.hashing import fnv1a_batch
-
             h = _mix64(fnv1a_batch(col))
         regs = _batch_registers(h, p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
