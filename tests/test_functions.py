@@ -544,3 +544,25 @@ def test_hll_excludes_nulls(ray_session):
     t = pa.table({"x": pa.array([1, 2, 2, None, None], pa.int64())})
     est = hll_count_distinct(ray.data.from_arrow(t), "x")
     assert round(est) == 2  # nulls excluded, like COUNT(DISTINCT)
+
+
+def test_frame_sampler_explosion(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "media_id": pa.array(["v0", "v1"]),
+            "payload": pa.array(
+                [bytes(4096 * 25), bytes(4096 * 3)], type=pa.binary()
+            ),
+            "media_type": pa.array(["video", "video"]),
+        }
+    )
+    out = multimodal.sample_frames(
+        ray.data.from_arrow(t), every_k=10, concurrency=1
+    ).to_pandas()
+    v0 = out[out["media_id"] == "v0"]
+    v1 = out[out["media_id"] == "v1"]
+    assert v0["frame_index"].tolist() == [0, 10, 20]  # 25 frames, every 10th
+    assert v1["frame_index"].tolist() == [0]          # 3 frames -> frame 0
+    assert all(len(f) <= 4096 for f in out["frame"])

@@ -89,3 +89,62 @@ def payload_meta(batch: pa.Table, payload_col: str = "payload") -> pa.Table:
     return batch.append_column(
         "payload_bytes", pc.binary_length(batch.column(payload_col)).cast(pa.int64())
     )
+
+
+def decode_video_frames(payload: bytes):
+    """Real implementation requires a video codec library."""
+    raise NotImplementedError("video decode requires ffmpeg/pyav (not in this env)")
+
+
+class FrameSampler:
+    """Actor-pool stage: explode each video payload into every-k-th-frame
+    rows (one row in → many out) — the flat_map-shaped plumbing a real
+    frame sampler needs (codec init once per actor in __init__, batched
+    explosion via list offsets in __call__).  Without a codec library
+    the 'frames' are deterministic fixed-size payload slices standing in
+    for decoded frames; swap `_fake_frames` for a real demuxer."""
+
+    FRAME_BYTES = 4096  # fake fixed-size frame
+
+    def __init__(self, every_k: int = 10, real: bool = False):
+        self.every_k = every_k
+        self.real = real
+        # real init: open the codec context once per actor
+
+    def _fake_frames(self, payload: bytes) -> list[bytes]:
+        n = max(1, len(payload) // self.FRAME_BYTES)
+        return [
+            payload[i * self.FRAME_BYTES : (i + 1) * self.FRAME_BYTES]
+            for i in range(0, n, self.every_k)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real:
+            raise NotImplementedError("real video decode not available in this env")
+        ids = batch.column("media_id").to_pylist()
+        out_ids, out_fidx, out_frames = [], [], []
+        for mid, payload in zip(ids, batch.column("payload").to_pylist()):
+            frames = self._fake_frames(payload)
+            out_ids.extend([mid] * len(frames))
+            out_fidx.extend(range(0, len(frames) * self.every_k, self.every_k))
+            out_frames.extend(frames)
+        return pa.table(
+            {
+                "media_id": pa.array(out_ids, pa.string()),
+                "frame_index": pa.array(out_fidx, pa.int64()),
+                "frame": pa.array(out_frames, pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds, every_k: int = 10, concurrency: int = 4):
+    """video dataset → per-frame rows (explosion stage; small batches
+    because payload rows are large)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
