@@ -29,8 +29,21 @@ def _register_by_value() -> None:
     instead (test-scale only — a cluster deployment installs the
     package or uses runtime_env py_modules)."""
     try:
+        import importlib
+        import pkgutil
+
         import tokcodec  # noqa: F401
-        import tokcodec.pipelines.queries  # pull in the full module graph
+
+        # import EVERY submodule (not just the queries graph): query
+        # closures lazily import modules like functions.joins /
+        # functions.sketch / sources.sink at call time, and a module
+        # absent from sys.modules here is pickled by REFERENCE — which a
+        # foreign-cwd worker cannot import
+        for info in pkgutil.walk_packages(tokcodec.__path__, "tokcodec."):
+            try:
+                importlib.import_module(info.name)
+            except Exception:
+                pass
 
         picklers = []
         try:

@@ -46,3 +46,28 @@ def test_no_runtime_tokcodec_imports_in_worker_modules():
         "runtime-lazy tokcodec imports break by-value-shipped workers:\n"
         + "\n".join(offenders)
     )
+
+
+def test_ray_entry_registers_full_module_graph():
+    """Every tokcodec submodule must be in sys.modules after importing
+    __ray_entry__ — a module missing there is pickled by reference and a
+    foreign-cwd driver worker cannot import it (the by-value-shipping
+    failure class).  Run in a subprocess so this test's own imports
+    don't mask gaps."""
+    import glob
+    import subprocess
+    import sys as _sys
+
+    expected = set()
+    for p in glob.glob(os.path.join(REPO, "tokcodec", "**", "*.py"), recursive=True):
+        rel = os.path.relpath(p, REPO)[:-3].replace(os.sep, ".")
+        expected.add(rel[: -len(".__init__")] if rel.endswith(".__init__") else rel)
+    out = subprocess.run(
+        [_sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); import __ray_entry__; "
+         "print('\\n'.join(n for n in sys.modules if n.startswith('tokcodec')))" % REPO],
+        capture_output=True, text=True, check=True, cwd="/tmp",
+    )
+    loaded = set(out.stdout.split())
+    missing = sorted(expected - loaded)
+    assert not missing, f"modules not in the by-value graph: {missing}"
