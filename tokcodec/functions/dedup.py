@@ -38,9 +38,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     def partial(batch: pa.Table) -> pa.Table:
         b = add_fingerprint(batch, text_col, out="h")
-        df = b.select(["h", id_col]).to_pandas()
-        out = df.groupby("h", as_index=False)[id_col].min()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        t = b.select(["h", id_col]).group_by("h").aggregate([(id_col, "min")])
+        return t.rename_columns(["h", id_col])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
