@@ -6,20 +6,26 @@ __init__):
     EncodeWorker          — partition encode (tokcodec.pipelines.encode)
     LangId                — language ID (tokcodec.functions.text)
     MediaFeatureExtractor — multimodal decode/featurize (functions.multimodal)
+    FrameSampler          — video → per-frame row explosion (functions.multimodal)
 
 Stateless stages (plain functions → task pools):
-    add_token_count, add_quality, add_fingerprint, rolling_hash,
+    tokenize, add_token_count, add_quality, add_fingerprint, rolling_hash,
     simhash_batch, minhash_band_rows, batch_stats, payload_meta
 """
 
 from tokcodec.functions.dedup import minhash_band_rows, simhash_batch  # noqa: F401
-from tokcodec.functions.multimodal import MediaFeatureExtractor, payload_meta  # noqa: F401
+from tokcodec.functions.multimodal import (  # noqa: F401
+    FrameSampler,
+    MediaFeatureExtractor,
+    payload_meta,
+)
 from tokcodec.functions.text import (  # noqa: F401
     LangId,
     add_fingerprint,
     add_quality,
     add_token_count,
     rolling_hash,
+    tokenize,
 )
 from tokcodec.pipelines.encode import EncodeWorker  # noqa: F401
 from tokcodec.scanner import batch_stats  # noqa: F401
