@@ -169,3 +169,17 @@ def test_fingerprint_tracks_file_content(tmp_path):
     os.utime(p, ns=(1, 1))  # content-change proxy: mtime moved
     fp2 = plan_partitions(p, target_tokens=TARGET, parallel=False)["fingerprint"]
     assert fp1 != fp2
+
+
+def test_manifest_records_codec_choices(encoded):
+    """SURVEY §7 step 3: the manifest records which codec won per column."""
+    from tokcodec import manifest as mf
+
+    _src, out, _res = encoded
+    mans = mf.list_manifests(out)
+    assert mans and all("codecs" in m for m in mans)
+    c0 = mans[0]["codecs"]
+    assert set(c0) == {"doc_id", "tokens", "n_tok", "source"}
+    assert c0["tokens"].startswith("list(")
+    known = {"plain", "bp", "for", "delta", "rle", "dict", "fsst", "pbytes", "dbytes", "fdict", "fplain"}
+    assert c0["source"] in known and c0["n_tok"] in known

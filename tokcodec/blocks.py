@@ -359,6 +359,26 @@ def encode_table(table: pa.Table, meta: dict | None = None, zstd: bool = True) -
     )
 
 
+def codec_summary(header: dict) -> dict:
+    """Per-column codec-choice summary from a block header (for the
+    manifest's 'which codec won' record, SURVEY.md §7 step 3): column
+    name → compact tree like 'for' / 'fsst' / 'list(len=for,values=bp)'."""
+
+    def walk(enc: dict) -> str:
+        k = enc.get("k", {})
+        if enc["c"] == "col":
+            kind = enc["m"].get("kind")
+            if kind == "list":
+                return f"list(len={walk(k['len'])},values={walk(k['values'])})"
+            if kind == "struct":
+                inner = ",".join(walk(v) for n, v in sorted(k.items()) if n != "valid")
+                return f"struct({inner})"
+            return walk(k["data"]) if "data" in k else enc["c"]
+        return enc["c"]
+
+    return {c["name"]: walk(c["enc"]) for c in header["columns"]}
+
+
 def read_header(blob: bytes) -> dict:
     if blob[: len(MAGIC)] != MAGIC:
         raise ValueError("not a TOKB block")

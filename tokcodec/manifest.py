@@ -50,7 +50,13 @@ def manifest_path(out_dir: str, pid: int) -> str:
 
 
 def write_partition(
-    out_dir: str, pid: int, blob: bytes, lineage: dict, metrics: dict, fp: str
+    out_dir: str,
+    pid: int,
+    blob: bytes,
+    lineage: dict,
+    metrics: dict,
+    fp: str,
+    codecs: dict | None = None,
 ) -> dict:
     bp = block_path(out_dir, pid)
     atomic_write_bytes(bp, blob)
@@ -62,6 +68,9 @@ def write_partition(
         "checksum": hashlib.sha256(blob).hexdigest(),
         "lineage": lineage,
         "metrics": metrics,
+        # which codec won per column (SURVEY.md §7 step 3's
+        # choice-recording requirement)
+        "codecs": codecs or {},
     }
     atomic_write_json(manifest_path(out_dir, pid), man)
     return man

@@ -34,7 +34,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from tokcodec import manifest as mf
-from tokcodec.blocks import decode_file, decode_table, encode_table
+from tokcodec.blocks import (
+    codec_summary,
+    decode_file,
+    decode_table,
+    encode_table,
+    read_header,
+)
 
 DEFAULT_TARGET_TOKENS = 32_000_000  # ~64 MB of int32 tokens per partition
 
@@ -373,7 +379,10 @@ class EncodeWorker:
             "encode_s": round(t_enc, 4),
             "resumed": False,
         }
-        mf.write_partition(self.out_dir, pid, blob, lineage, metrics, self.fp)
+        mf.write_partition(
+            self.out_dir, pid, blob, lineage, metrics, self.fp,
+            codecs=codec_summary(read_header(blob)),
+        )
         return metrics
 
     def __call__(self, batch: pa.Table) -> pa.Table:
