@@ -212,6 +212,32 @@ def rolling_hash_documents(sf_dir: str):
     )
 
 
+def langid_documents_oracle() -> str:
+    """SQL-expressed stopword vote, generated from the SAME _STOPWORDS
+    tables LangId uses (so they cannot drift): word lists via
+    regexp_extract_all over the lowered 2000-char prefix, per-language
+    hit counts, first-strict-max tie-break in (en, de, fr, es) order,
+    'unknown' on zero hits — exactly LangId's semantics."""
+    from tokcodec.functions.text import _STOPWORDS
+
+    def inlist(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+    return (
+        "WITH w AS (SELECT doc_id, regexp_extract_all("
+        "substring(lower(text), 1, 2000), '[a-z]+') AS ws FROM documents), "
+        "s AS (SELECT doc_id, "
+        f"len(list_filter(ws, x -> x IN ({inlist('en')}))) AS en, "
+        f"len(list_filter(ws, x -> x IN ({inlist('de')}))) AS de, "
+        f"len(list_filter(ws, x -> x IN ({inlist('fr')}))) AS fr, "
+        f"len(list_filter(ws, x -> x IN ({inlist('es')}))) AS es FROM w) "
+        "SELECT doc_id, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown' "
+        "WHEN en >= de AND en >= fr AND en >= es THEN 'en' "
+        "WHEN de >= fr AND de >= es THEN 'de' "
+        "WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM s"
+    )
+
+
 def docs_stats_by_lang(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -769,6 +795,7 @@ def build_oracle_sql() -> dict:
             " AS n_words FROM documents"
         ),
         "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "langid_documents": langid_documents_oracle(),
         "quality_documents": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
             " AS q_words FROM documents"
