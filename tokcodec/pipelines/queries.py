@@ -656,7 +656,13 @@ def embedding_dups(sf_dir: str):
         batch_format="pyarrow",
     )
     both = ds.union(half.map_batches(shift, batch_format="pyarrow"))
-    return ann.embedding_near_dups(both, tau=0.999)
+    # emit id pairs only: the oracle is the exact all-pairs inequality
+    # join (cosine >= tau), value-identical because tau=0.999 pairs are
+    # exact duplicates and identical vectors always share LSH signatures;
+    # the float sim stays out of the hash contract
+    return ann.embedding_near_dups(both, tau=0.999).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    )
 
 
 # -------------------------------------------------------- multimodal ----
@@ -853,6 +859,14 @@ def build_oracle_sql() -> dict:
         ),
         "distinct_users_hll": (
             "SELECT COUNT(DISTINCT user_id) AS n_exact, true AS ok FROM events"
+        ),
+        "embedding_dups": (
+            "WITH both_sides AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding "
+            "FROM embeddings WHERE vec_id % 16 = 0) "
+            "SELECT x.vec_id AS a, y.vec_id AS b FROM both_sides x "
+            "JOIN both_sides y ON x.vec_id < y.vec_id "
+            "AND list_cosine_similarity(x.embedding, y.embedding) >= 0.999"
         ),
         "having_orders": (
             "SELECT o_custkey, COUNT(*) AS n FROM orders "
