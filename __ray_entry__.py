@@ -39,11 +39,20 @@ def _register_by_value() -> None:
         # functions.sketch / sources.sink at call time, and a module
         # absent from sys.modules here is pickled by REFERENCE — which a
         # foreign-cwd worker cannot import
+        failed = []
         for info in pkgutil.walk_packages(tokcodec.__path__, "tokcodec."):
             try:
                 importlib.import_module(info.name)
-            except Exception:
-                pass
+            except Exception as ex:  # keep going, but say so — a module
+                failed.append(f"{info.name} ({type(ex).__name__}: {ex})")
+        if failed:  # absent module pickles by REFERENCE and kills workers
+            import warnings
+
+            warnings.warn(
+                "by-value registration skipped unimportable tokcodec modules "
+                "(foreign-cwd workers will fail if these are used): "
+                + "; ".join(failed)
+            )
 
         picklers = []
         try:

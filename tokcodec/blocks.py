@@ -371,7 +371,11 @@ def codec_summary(header: dict) -> dict:
             if kind == "list":
                 return f"list(len={walk(k['len'])},values={walk(k['values'])})"
             if kind == "struct":
-                inner = ",".join(walk(v) for n, v in sorted(k.items()) if n != "valid")
+                # positional child keys f0..fN: iterate numerically (a
+                # lexicographic sort misorders f10 before f2)
+                inner = ",".join(
+                    walk(k[f"f{i}"]) for i in range(enc["m"]["nf"])
+                )
                 return f"struct({inner})"
             return walk(k["data"]) if "data" in k else enc["c"]
         return enc["c"]

@@ -39,7 +39,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     def partial(batch: pa.Table) -> pa.Table:
         b = add_fingerprint(batch, text_col, out="h")
         t = b.select(["h", id_col]).group_by("h").aggregate([(id_col, "min")])
-        return t.rename_columns(["h", id_col])
+        # select/rename BY NAME: aggregate output column order is
+        # pyarrow-version-dependent (keys first on 16.x, last on older)
+        return pa.table({"h": t.column("h"), id_col: t.column(f"{id_col}_min")})
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -111,10 +111,12 @@ class FrameSampler:
         self.real = real
         # real init: open the codec context once per actor
 
-    def _fake_frames(self, payload: bytes) -> list[bytes]:
+    def _fake_frames(self, payload: bytes) -> list[tuple[int, bytes]]:
+        """(frame_index, frame) pairs — the index travels WITH the frame
+        it describes so a real demuxer can't desynchronize them."""
         n = max(1, len(payload) // self.FRAME_BYTES)
         return [
-            payload[i * self.FRAME_BYTES : (i + 1) * self.FRAME_BYTES]
+            (i, payload[i * self.FRAME_BYTES : (i + 1) * self.FRAME_BYTES])
             for i in range(0, n, self.every_k)
         ]
 
@@ -126,8 +128,8 @@ class FrameSampler:
         for mid, payload in zip(ids, batch.column("payload").to_pylist()):
             frames = self._fake_frames(payload)
             out_ids.extend([mid] * len(frames))
-            out_fidx.extend(range(0, len(frames) * self.every_k, self.every_k))
-            out_frames.extend(frames)
+            out_fidx.extend(i for i, _ in frames)
+            out_frames.extend(f for _, f in frames)
         return pa.table(
             {
                 "media_id": pa.array(out_ids, pa.string()),

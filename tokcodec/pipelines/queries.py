@@ -220,21 +220,28 @@ def langid_documents_oracle() -> str:
     'unknown' on zero hits — exactly LangId's semantics."""
     from tokcodec.functions.text import _STOPWORDS
 
+    langs = list(_STOPWORDS)  # LangId's argmax order == dict order
+
     def inlist(lang: str) -> str:
         return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
 
+    counts = ", ".join(
+        f"len(list_filter(ws, x -> x IN ({inlist(lg)}))) AS {lg}" for lg in langs
+    )
+    # first-strict-max in dict order: lang i wins iff >= every later lang
+    whens = " ".join(
+        "WHEN "
+        + " AND ".join(f"{lg} >= {other}" for other in langs[i + 1 :])
+        + f" THEN '{lg}'"
+        for i, lg in enumerate(langs[:-1])
+    )
     return (
         "WITH w AS (SELECT doc_id, regexp_extract_all("
-        "substring(lower(text), 1, 2000), '[a-z]+') AS ws FROM documents), "
-        "s AS (SELECT doc_id, "
-        f"len(list_filter(ws, x -> x IN ({inlist('en')}))) AS en, "
-        f"len(list_filter(ws, x -> x IN ({inlist('de')}))) AS de, "
-        f"len(list_filter(ws, x -> x IN ({inlist('fr')}))) AS fr, "
-        f"len(list_filter(ws, x -> x IN ({inlist('es')}))) AS es FROM w) "
-        "SELECT doc_id, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown' "
-        "WHEN en >= de AND en >= fr AND en >= es THEN 'en' "
-        "WHEN de >= fr AND de >= es THEN 'de' "
-        "WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM s"
+        "substring(lower(coalesce(text, '')), 1, 2000), '[a-z]+') AS ws "
+        "FROM documents), "
+        f"s AS (SELECT doc_id, {counts} FROM w) "
+        f"SELECT doc_id, CASE WHEN greatest({', '.join(langs)}) = 0 "
+        f"THEN 'unknown' {whens} ELSE '{langs[-1]}' END AS lang_pred FROM s"
     )
 
 
