@@ -152,6 +152,31 @@ def predicate_tokb_roundtrip(sf_dir: str):
     return decode_dataset(out, predicate=col("l_orderkey") < 1000)
 
 
+def evolution_read_documents(sf_dir: str):
+    """Schema evolution as a driver-checked query (SURVEY §2 #18-#19):
+    encode (doc_id, n_chars) into TOKB, then read under a WIDER schema
+    that adds an optional int64 field — the absent field materializes as
+    nulls (ParquetExampleTest.scala:263-326 semantics); oracle = the
+    same projection with a NULL column in DuckDB."""
+    import tempfile
+
+    from tokcodec.schema import Schema, Type
+    from tokcodec.sources.reader import TokbReader
+    from tokcodec.sources.sink import TokbDatasink
+
+    out = tempfile.mkdtemp(prefix="evo_", dir="/tmp")
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    ds.write_datasink(TokbDatasink(out))
+    read_schema = (
+        Schema.Builder()
+        .optional("doc_id", Type.INT64)
+        .optional("n_chars", Type.INT64)
+        .optional("extra", Type.INT64)
+        .named("docs_v2")
+    )
+    return TokbReader(out).with_schema(read_schema).dataset()
+
+
 def scanner_documents(sf_dir: str):
     s = scan_schema(_rp(sf_dir, "documents"))
     return pa.Table.from_pylist(
@@ -730,6 +755,7 @@ def build_queries() -> dict:
         "predicate_isin_part": predicate_isin_part,
         "predicate_negation_orders": predicate_negation_orders,
         "predicate_tokb_roundtrip": predicate_tokb_roundtrip,
+        "evolution_read_documents": evolution_read_documents,
         "scanner_documents": scanner_documents,
         "token_count_documents": token_count_documents,
         "fingerprint_documents": fingerprint_documents,
@@ -801,6 +827,9 @@ def build_oracle_sql() -> dict:
         "predicate_tokb_roundtrip": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
             "WHERE l_orderkey < 1000"
+        ),
+        "evolution_read_documents": (
+            "SELECT doc_id, n_chars, CAST(NULL AS BIGINT) AS extra FROM documents"
         ),
         "scanner_documents": scanner_documents_oracle(),
         "token_count_documents": (
