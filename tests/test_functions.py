@@ -566,3 +566,26 @@ def test_frame_sampler_explosion(ray_session):
     assert v0["frame_index"].tolist() == [0, 10, 20]  # 25 frames, every 10th
     assert v1["frame_index"].tolist() == [0]          # 3 frames -> frame 0
     assert all(len(f) <= 4096 for f in out["frame"])
+
+
+def test_ngram_profile_matches_scalar_reference():
+    """Vectorized char-n-gram counting (UTF-8 char starts, FNV windows)
+    must match the Python set semantics incl. unicode and short docs."""
+
+    def ref(s, n=4):
+        s = s or ""
+        return len({s[i : i + n] for i in range(max(1, len(s) - n + 1))})
+
+    rng = np.random.default_rng(3)
+    alpha = list("abcé☃ XY9.")
+    texts = ["hello world", "", None, "abc", "aaaa", "ééé", "☃☃☃☃☃",
+             "日本語のテキストです"]
+    texts += ["".join(rng.choice(alpha, size=rng.integers(0, 60))) for _ in range(150)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = dedup.ngram_profile(t).column("n_grams").to_pylist()
+    assert got == [ref(s) for s in texts]

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from tokcodec.functions.hashing import fnv1a_batch
+from tokcodec.functions.hashing import fnv1a_batch, fnv1a_spans
 from tokcodec.functions.text import add_fingerprint, split_words
 
 _M61 = np.uint64((1 << 61) - 1)
@@ -281,6 +281,69 @@ def simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id", out="simhas
     sig_bits = (sums >= 0).astype(np.uint8)
     sig = np.packbits(sig_bits, axis=1, bitorder="little").view(np.uint64).reshape(n)
     return batch.append_column(out, pa.array(sig.view(np.int64), type=pa.int64()))
+
+
+def ngram_profile(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 4, out: str = "n_grams") -> pa.Table:
+    """Distinct CHARACTER n-gram count per doc (the per-doc building
+    block of n-gram Jaccard), fully vectorized: UTF-8 char starts from
+    one byte-class pass, sliding char-window byte spans, one batched FNV
+    pass, lexsort + change-point count — no per-row Python.  Docs
+    shorter than n chars contribute ONE truncated gram (matching
+    ngram_jaccard's set semantics)."""
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    b = pc.fill_null(col, "").cast(pa.large_binary())
+    bufs = b.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64)[b.offset : b.offset + len(b) + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    base = int(off[0])
+    data = data[base : int(off[-1])]
+    off = off - base
+    n_docs = len(b)
+    # char starts: every byte that is NOT a UTF-8 continuation byte
+    cpos = np.flatnonzero((data & 0xC0) != 0x80)
+    c0 = np.searchsorted(cpos, off[:-1])
+    c1 = np.searchsorted(cpos, off[1:])
+    nch = c1 - c0
+    m = np.maximum(nch - (n - 1), 1)  # windows per doc (>=1, truncated)
+    total = int(m.sum())
+    excl = np.concatenate(([0], np.cumsum(m)[:-1]))
+    intra = np.arange(total, dtype=np.int64) - np.repeat(excl, m)
+    first_char = np.repeat(c0, m) + intra
+    cpos_pad = np.concatenate([cpos, [len(data)]])
+    # empty docs: one zero-length gram at the doc offset
+    first_char = np.minimum(first_char, len(cpos))
+    gram_start = np.where(
+        np.repeat(nch, m) > 0, cpos_pad[first_char], np.repeat(off[:-1], m)
+    )
+    end_char = first_char + n
+    c1_rep = np.repeat(c1, m)
+    end_in = np.minimum(end_char, len(cpos))
+    gram_end = np.where(
+        end_char < c1_rep, cpos_pad[end_in], np.repeat(off[1:], m)
+    )
+    span_lens = gram_end - gram_start
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), m)
+    h = fnv1a_spans(data, gram_start, span_lens)
+    order = np.lexsort((h, doc_idx))
+    d_s, h_s = doc_idx[order], h[order]
+    new = np.ones(total, dtype=bool)
+    if total > 1:
+        new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    counts = np.bincount(d_s[new], minlength=n_docs)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            out: pa.array(counts, type=pa.int64()),
+        }
+    )
 
 
 def ngram_jaccard(a: str, b: str, n: int = 4) -> float:

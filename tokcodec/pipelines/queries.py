@@ -573,6 +573,15 @@ def dedup_minhash_documents(sf_dir: str):
     return pa.Table.from_pylist(sorted(verified, key=lambda r: (r["a"], r["b"])))
 
 
+def ngram_profile_documents(sf_dir: str):
+    """Distinct byte 4-gram count per doc (n-gram Jaccard's per-doc
+    building block), vectorized; oracle = DuckDB BLOB substrings +
+    list_distinct (byte-level semantics on both sides)."""
+    return _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        dedup.ngram_profile, batch_format="pyarrow"
+    )
+
+
 def dedup_simhash_documents(sf_dir: str):
     return _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         lambda t: dedup.simhash_batch(t).select(["doc_id", "simhash"]),
@@ -779,6 +788,7 @@ def build_queries() -> dict:
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_simhash_documents": dedup_simhash_documents,
+        "ngram_profile_documents": ngram_profile_documents,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -914,6 +924,12 @@ def build_oracle_sql() -> dict:
         ),
         "dedup_exact_documents": (
             "SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "ngram_profile_documents": (
+            "SELECT doc_id, CAST(CASE WHEN length(s) <= 4 THEN 1 "
+            "ELSE len(list_distinct(list_transform(range(1, length(s) - 2), "
+            "i -> substring(s, i, 4)))) END AS BIGINT) AS n_grams "
+            "FROM (SELECT doc_id, coalesce(text, '') AS s FROM documents)"
         ),
         "multimodal_meta_documents": (
             "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS payload_bytes FROM documents"
