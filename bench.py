@@ -124,14 +124,14 @@ def run_bench() -> dict:
 
     from tokcodec.functions import text as _text
 
-    text_fixture = f"{_BASE}/{SF_NAME}_text_v1.parquet"
+    text_fixture = f"{_BASE}/{SF_NAME}_text_v2.parquet"
     if not os.path.exists(text_fixture):
         doc = _pq.read_table(
             f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
         )
-        reps = max(1, 40_000 // max(1, doc.num_rows))
+        reps = max(1, 400_000 // max(1, doc.num_rows))
         tiled = _pa.concat_tables([doc] * reps)
-        _pq.write_table(tiled, text_fixture, row_group_size=2048)
+        _pq.write_table(tiled, text_fixture, row_group_size=4096)
     tok_ds = ray.data.read_parquet(text_fixture).map_batches(
         _text.tokenize, batch_format="pyarrow"
     )
