@@ -270,6 +270,36 @@ def langid_documents_oracle() -> str:
     )
 
 
+def wordcount_topk_documents(sf_dir: str):
+    """The canonical distributed pipeline: per-batch vectorized word
+    extraction + LOCAL count (pyarrow group_by — only (word, n) partials
+    cross the wire), one groupby(word) shuffle to merge, then a
+    deterministic top-20 (count desc, word asc)."""
+    from ray.data.aggregate import Sum
+
+    from tokcodec.functions.text import split_words
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words, _doc_idx, _n = split_words(batch.column("text"))
+        t = pa.table({"word": words.cast(pa.string())})
+        c = t.group_by("word").aggregate([("word", "count")])
+        return pa.table(
+            {
+                "word": c.column("word"),
+                "n": c.column("word_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "word"], descending=[True, False]).limit(20)
+
+
 def docs_stats_by_lang(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -789,6 +819,7 @@ def build_queries() -> dict:
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_simhash_documents": dedup_simhash_documents,
         "ngram_profile_documents": ngram_profile_documents,
+        "wordcount_topk_documents": wordcount_topk_documents,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -873,6 +904,11 @@ def build_oracle_sql() -> dict:
             "ORDER BY n_chars DESC, doc_id LIMIT 10"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "wordcount_topk_documents": (
+            "SELECT w AS word, COUNT(*) AS n FROM (SELECT "
+            "unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w "
+            "FROM documents) GROUP BY w ORDER BY n DESC, word LIMIT 20"
+        ),
         "window_events": (
             "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win, "
             "COUNT(*) AS n FROM events GROUP BY event_type, win"
