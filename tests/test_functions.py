@@ -589,3 +589,29 @@ def test_ngram_profile_matches_scalar_reference():
     )
     got = dedup.ngram_profile(t).column("n_grams").to_pylist()
     assert got == [ref(s) for s in texts]
+
+
+def test_quantile_disc_matches_duckdb_semantics(ray_session):
+    """Iterative-histogram selection must reproduce DuckDB's
+    quantile_disc rank rule exactly (k = max(0, ceil(q*n) - 1)) across
+    duplicates-heavy and all-equal distributions."""
+    import duckdb
+    import ray.data
+
+    from tokcodec.functions.quantile import quantile_disc
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(4)
+    cases = [
+        rng.standard_normal(20000) * 1e4,
+        np.repeat([1.5, 2.5, 99.0], [10000, 100, 5]),
+        np.full(5000, 7.25),
+        np.array([3.0]),
+    ]
+    for vals in cases:
+        t = pa.table({"x": pa.array(vals, pa.float64())})
+        ds = ray.data.from_arrow(t).repartition(4)
+        con.register("tt", t)
+        for q in [0.0, 0.5, 0.9, 1.0]:
+            want = con.execute(f"SELECT quantile_disc(x, {q}) FROM tt").fetchone()[0]
+            assert quantile_disc(ds, "x", q) == want, (q, len(vals))

@@ -30,6 +30,7 @@ WORKER_MODULES = [
     "tokcodec/functions/hashing.py",
     "tokcodec/functions/joins.py",
     "tokcodec/functions/sketch.py",
+    "tokcodec/functions/quantile.py",
 ]
 
 _LAZY = re.compile(r"^[ \t]+(from tokcodec|import tokcodec)", re.M)

@@ -339,6 +339,27 @@ def agg_events_by_type(sf_dir: str):
 # ------------------------------------------------ relational patterns ----
 
 
+def quantiles_lineitem_price(sf_dir: str):
+    """Exact distributed quantiles WITHOUT a sort: iterative histogram
+    selection (O(passes) streaming scans, O(bins) driver state) —
+    value-exact against DuckDB quantile_disc."""
+    from tokcodec.functions.quantile import quantile_disc
+
+    def mk():
+        return _rp(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    qs = [0.5, 0.9, 0.99]
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "v": pa.array(
+                [quantile_disc(mk(), "l_extendedprice", q) for q in qs],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def topk_documents(sf_dir: str):
     """sort + limit (top-k): deterministic tie-break on doc_id."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
@@ -805,6 +826,7 @@ def build_queries() -> dict:
         "agg_lineitem_pricing": agg_lineitem_pricing,
         "agg_events_by_type": agg_events_by_type,
         "topk_documents": topk_documents,
+        "quantiles_lineitem_price": quantiles_lineitem_price,
         "distinct_langs": distinct_langs,
         "window_events": window_events,
         "sessionize_events": sessionize_events,
@@ -902,6 +924,11 @@ def build_oracle_sql() -> dict:
         "topk_documents": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "quantiles_lineitem_price": (
+            "SELECT 0.5 AS q, quantile_disc(l_extendedprice, 0.5) AS v FROM lineitem "
+            "UNION ALL SELECT 0.9, quantile_disc(l_extendedprice, 0.9) FROM lineitem "
+            "UNION ALL SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "wordcount_topk_documents": (
