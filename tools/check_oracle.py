@@ -45,6 +45,13 @@ def compare(mine: pd.DataFrame, ref: pd.DataFrame) -> str:
     if sorted(mine.columns) != sorted(ref.columns):
         return f"COLS {sorted(mine.columns)} vs {sorted(ref.columns)}"
     a, b = canon(mine), canon(ref)
+    # dtype-strict: the driver HASHES values, so int64-vs-float64 (e.g.
+    # DuckDB HUGEINT sums) mismatches even when values compare equal —
+    # catch that class locally (round-1's only red cells)
+    for c in a.columns:
+        da, db = str(a[c].dtype), str(b[c].dtype)
+        if da != db and not (len(a) == 0):
+            return f"DTYPE column {c}: {da} vs {db}"
     for c in a.columns:
         av, bv = a[c], b[c]
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
