@@ -97,12 +97,16 @@ def run_bench() -> dict:
     # both raw times are reported
     out_dir = f"{_BASE}/enc_{SF_NAME}_{NUM_CPUS}"
     encode_runs = []
+    best = None
     for _rep in range(2):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.monotonic()
-        res = encode_dataset(FIXTURE, out_dir, target_tokens=8_000_000)
-        encode_runs.append(round(time.monotonic() - t0, 3))
-    headline = min(encode_runs)
+        r = encode_dataset(FIXTURE, out_dir, target_tokens=8_000_000)
+        dt = round(time.monotonic() - t0, 3)
+        encode_runs.append(dt)
+        if best is None or dt < best[0]:
+            best = (dt, r)
+    headline, res = best  # core-time metrics describe the SAME run as the headline
     mets = res["metrics"]
     n_tok = sum(m["n_tok"] for m in mets)
     bytes_out = sum(m["bytes_out"] for m in mets)

@@ -615,3 +615,20 @@ def test_quantile_disc_matches_duckdb_semantics(ray_session):
         for q in [0.0, 0.5, 0.9, 1.0]:
             want = con.execute(f"SELECT quantile_disc(x, {q}) FROM tt").fetchone()[0]
             assert quantile_disc(ds, "x", q) == want, (q, len(vals))
+
+
+def test_ngram_profile_empty_batch():
+    t = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    out = dedup.ngram_profile(t)
+    assert out.num_rows == 0 and out.column_names == ["doc_id", "n_grams"]
+
+
+def test_quantile_disc_nan_excluded(ray_session):
+    import ray.data
+
+    from tokcodec.functions.quantile import quantile_disc
+
+    t = pa.table({"x": pa.array([1.0, 2.0, float("nan"), 3.0], pa.float64())})
+    ds = ray.data.from_arrow(t)
+    assert quantile_disc(ds, "x", 0.5) == 2.0  # DuckDB excludes NaN
+    assert quantile_disc(ds, "x", 1.0) == 3.0

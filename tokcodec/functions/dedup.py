@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 
 from tokcodec.functions.hashing import fnv1a_batch, fnv1a_spans
-from tokcodec.functions.text import add_fingerprint, split_words
+from tokcodec.functions.text import add_fingerprint, flat_utf8, split_words
 
 _M61 = np.uint64((1 << 61) - 1)
 
@@ -291,22 +291,11 @@ def ngram_profile(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     pass, lexsort + change-point count — no per-row Python.  Docs
     shorter than n chars contribute ONE truncated gram (matching
     ngram_jaccard's set semantics)."""
-    import pyarrow.compute as pc
-
-    col = batch.column(text_col)
-    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    b = pc.fill_null(col, "").cast(pa.large_binary())
-    bufs = b.buffers()
-    off = np.frombuffer(bufs[1], dtype=np.int64)[b.offset : b.offset + len(b) + 1]
-    data = (
-        np.frombuffer(bufs[2], dtype=np.uint8)
-        if bufs[2] is not None
-        else np.empty(0, np.uint8)
-    )
-    base = int(off[0])
-    data = data[base : int(off[-1])]
-    off = off - base
-    n_docs = len(b)
+    data, off, n_docs = flat_utf8(batch.column(text_col))
+    if n_docs == 0:
+        return pa.table(
+            {id_col: batch.column(id_col), out: pa.array([], pa.int64())}
+        )
     # char starts: every byte that is NOT a UTF-8 continuation byte
     cpos = np.flatnonzero((data & 0xC0) != 0x80)
     c0 = np.searchsorted(cpos, off[:-1])

@@ -28,18 +28,14 @@ for _r in (range(48, 58), range(65, 91), range(97, 123)):
     _WORD_LUT[list(_r)] = True
 
 
-def word_spans(
+def flat_utf8(
     texts: pa.Array | pa.ChunkedArray,
-    lut: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
-    """Vectorized word extraction with NO string materialization:
-    (byte buffer, word starts, word lengths, doc index per word, n_docs).
-    Word runs are found by a byte-class LUT over the flat UTF-8 buffer —
-    equivalent to per-doc ``re.findall(WORD_RE, s)`` with the default
-    LUT; pass a custom 256-bool `lut` for other ASCII character classes.
-    Runs touching a doc boundary are split there."""
-    if lut is None:
-        lut = _WORD_LUT
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Flat UTF-8 byte view of a string array: (byte buffer, per-doc
+    offsets, n_docs), null-filled and rebased to THIS slice's byte
+    window (sliced arrays share the parent buffer — scanning outside the
+    window yields phantom content).  The single audited home of the
+    zero-copy buffer extraction used by word/char scanners."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
@@ -53,13 +49,28 @@ def word_spans(
         else np.empty(0, np.uint8)
     )
     if len(off):
-        # sliced arrays share the parent buffer: scan ONLY this slice's
-        # byte window, else out-of-slice bytes become phantom words and
-        # runs merge across the slice boundary
         base = int(off[0])
         data = data[base : int(off[-1])]
         if base:
             off = off - base
+    else:
+        off = np.zeros(1, dtype=np.int64)
+    return data, off, n
+
+
+def word_spans(
+    texts: pa.Array | pa.ChunkedArray,
+    lut: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Vectorized word extraction with NO string materialization:
+    (byte buffer, word starts, word lengths, doc index per word, n_docs).
+    Word runs are found by a byte-class LUT over the flat UTF-8 buffer —
+    equivalent to per-doc ``re.findall(WORD_RE, s)`` with the default
+    LUT; pass a custom 256-bool `lut` for other ASCII character classes.
+    Runs touching a doc boundary are split there."""
+    if lut is None:
+        lut = _WORD_LUT
+    data, off, n = flat_utf8(texts)
     if len(data) == 0:
         z = np.empty(0, np.int64)
         return data, z, z, z, n

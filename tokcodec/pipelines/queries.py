@@ -343,20 +343,13 @@ def quantiles_lineitem_price(sf_dir: str):
     """Exact distributed quantiles WITHOUT a sort: iterative histogram
     selection (O(passes) streaming scans, O(bins) driver state) —
     value-exact against DuckDB quantile_disc."""
-    from tokcodec.functions.quantile import quantile_disc
+    from tokcodec.functions.quantile import quantiles_disc
 
-    def mk():
-        return _rp(sf_dir, "lineitem", columns=["l_extendedprice"])
-
+    ds = _rp(sf_dir, "lineitem", columns=["l_extendedprice"])
     qs = [0.5, 0.9, 0.99]
+    vals = quantiles_disc(ds, "l_extendedprice", qs)
     return pa.table(
-        {
-            "q": pa.array(qs, pa.float64()),
-            "v": pa.array(
-                [quantile_disc(mk(), "l_extendedprice", q) for q in qs],
-                pa.float64(),
-            ),
-        }
+        {"q": pa.array(qs, pa.float64()), "v": pa.array(vals, pa.float64())}
     )
 
 
@@ -625,9 +618,10 @@ def dedup_minhash_documents(sf_dir: str):
 
 
 def ngram_profile_documents(sf_dir: str):
-    """Distinct byte 4-gram count per doc (n-gram Jaccard's per-doc
-    building block), vectorized; oracle = DuckDB BLOB substrings +
-    list_distinct (byte-level semantics on both sides)."""
+    """Distinct CHARACTER 4-gram count per doc (n-gram Jaccard's per-doc
+    building block), vectorized via UTF-8 char-start detection; oracle =
+    DuckDB VARCHAR substrings + list_distinct (character-level semantics
+    on both sides)."""
     return _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         dedup.ngram_profile, batch_format="pyarrow"
     )
