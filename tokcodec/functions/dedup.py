@@ -31,22 +31,53 @@ _M61 = np.uint64((1 << 61) - 1)
 # ------------------------------------------------------------ exact ----
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep MIN(id) per identical content (md5).  Partial min per batch
-    before the shuffle so the groupby moves at most one row per distinct
-    hash per block."""
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                method: str = "fnv128"):
+    """Keep MIN(id) per identical content.  Partial min per batch before
+    the shuffle so the groupby moves at most one row per distinct hash
+    per block.
+
+    `method`: "fnv128" (default — vectorized double-FNV content hash,
+    keys (h1, h2) int64; the hot-path form, no per-row Python) or "md5"
+    (per-row hashlib, key `h` = md5 hex — DuckDB-oracle-parity mode)."""
     from ray.data.aggregate import Min
 
-    def partial(batch: pa.Table) -> pa.Table:
+    from tokcodec.functions.text import fnv128
+
+    def partial_md5(batch: pa.Table) -> pa.Table:
         b = add_fingerprint(batch, text_col, out="h")
         t = b.select(["h", id_col]).group_by("h").aggregate([(id_col, "min")])
         # select/rename BY NAME: aggregate output column order is
         # pyarrow-version-dependent (keys first on 16.x, last on older)
         return pa.table({"h": t.column("h"), id_col: t.column(f"{id_col}_min")})
 
+    def partial_fnv(batch: pa.Table) -> pa.Table:
+        lo, hi = fnv128(batch.column(text_col))
+        t = pa.table(
+            {
+                "h1": pa.array(lo.view(np.int64), pa.int64()),
+                "h2": pa.array(hi.view(np.int64), pa.int64()),
+                id_col: batch.column(id_col),
+            }
+        )
+        t = t.group_by(["h1", "h2"]).aggregate([(id_col, "min")])
+        return pa.table(
+            {
+                "h1": t.column("h1"),
+                "h2": t.column("h2"),
+                id_col: t.column(f"{id_col}_min"),
+            }
+        )
+
+    if method == "md5":
+        return (
+            ds.map_batches(partial_md5, batch_format="pyarrow")
+            .groupby("h")
+            .aggregate(Min(id_col, alias_name=id_col))
+        )
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("h")
+        ds.map_batches(partial_fnv, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
         .aggregate(Min(id_col, alias_name=id_col))
     )
 

@@ -37,12 +37,18 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 def fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
-    """Deterministic fake 'decode + feature extract': hash-seeded feature
-    vector.  Stands in for a model forward pass so the pipeline shape is
-    testable end-to-end."""
-    h = hashlib.sha256(payload).digest()
-    seed = int.from_bytes(h[:8], "little")
-    return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+    """Deterministic fake 'decode + feature extract': feature j =
+    md5(payload).digest()[j % 16] / 256.  Stands in for a model forward
+    pass so the pipeline shape is testable end-to-end — and, unlike a
+    PRNG fake, is ORACLE-EXPRESSIBLE: DuckDB's
+    ``(md5_number_upper(s) >> (8*j)) & 255`` is digest byte j (j < 8)
+    and ``md5_number_lower`` covers bytes 8-15, so the driver can check
+    the full plumbing contract in SQL.  Values k/256 are exact in
+    float32."""
+    digest = hashlib.md5(payload).digest()
+    reps = -(-dim // 16)
+    b = (digest * reps)[:dim]
+    return (np.frombuffer(b, np.uint8).astype(np.float32)) / np.float32(256.0)
 
 
 class MediaFeatureExtractor:

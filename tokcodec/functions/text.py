@@ -149,12 +149,40 @@ def add_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def add_fingerprint(batch: pa.Table, text_col: str = "text", out: str = "fp") -> pa.Table:
     """Content fingerprint = md5 hex of the utf-8 text (bit-compatible
-    with DuckDB's md5() so dedup results are oracle-checkable)."""
+    with DuckDB's md5() so dedup results are oracle-checkable).  Per-row
+    Python — the ORACLE-PARITY mode; hot paths use `fnv128` /
+    `add_fingerprint128` (vectorized, ~2 ns/byte)."""
     fps = [
         hashlib.md5(s.encode() if isinstance(s, str) else (s or b"")).hexdigest()
         for s in batch.column(text_col).to_pylist()
     ]
     return batch.append_column(out, pa.array(fps, type=pa.string()))
+
+
+def fnv128(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 128-bit content hash: two independent FNV-1a-64 passes
+    (distinct offset bases) over the flat UTF-8 buffer → (lo, hi)
+    uint64[n].  Collision odds at 10^10 docs: ~(10^10)^2 / 2^129 ≈
+    1.5e-19 — safe as exact-dedup's default key; md5 stays as the
+    DuckDB-parity mode."""
+    from tokcodec.functions.hashing import fnv1a_spans2
+
+    data, off, n = flat_utf8(texts)
+    return fnv1a_spans2(data, off[:-1], np.diff(off))
+
+
+def add_fingerprint128(
+    batch: pa.Table, text_col: str = "text", out: str = "fp"
+) -> pa.Table:
+    """Vectorized fingerprint as a fixed 16-byte binary column (the
+    packed form of `fnv128`)."""
+    lo, hi = fnv128(batch.column(text_col))
+    n = len(lo)
+    raw = np.empty((n, 16), np.uint8)
+    raw[:, :8] = lo.view(np.uint8).reshape(n, 8)
+    raw[:, 8:] = hi.view(np.uint8).reshape(n, 8)
+    fp = pa.Array.from_buffers(pa.binary(16), n, [None, pa.py_buffer(raw)])
+    return batch.append_column(out, fp)
 
 
 _STOPWORDS = {
@@ -248,21 +276,12 @@ def tokenize(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
 
 
 def rolling_hash(batch: pa.Table, text_col: str = "text", out: str = "rh") -> pa.Table:
-    """64-bit polynomial rolling hash of the whole text, vectorized over
-    the concatenated byte buffer (one Horner pass per power-of-two step)."""
-    arr = batch.column(text_col)
-    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    b = arr.cast(pa.large_binary())
-    bufs = b.buffers()
-    off = np.frombuffer(bufs[1], dtype=np.int64)[b.offset : b.offset + len(b) + 1]
-    data = np.frombuffer(bufs[2], dtype=np.uint8)
-    P = np.uint64(1099511628211)
-    out_h = np.zeros(len(b), dtype=np.uint64)
-    # per-doc Horner evaluated in max_len vectorized steps over active docs
-    lengths = np.diff(off)
-    max_len = int(lengths.max()) if len(lengths) else 0
-    for i in range(max_len):
-        active = lengths > i
-        idx = off[:-1][active] + i
-        out_h[active] = out_h[active] * P + data[idx]
+    """64-bit polynomial rolling hash of the whole text (``h = h*P + b``
+    from 0), vectorized with the length-sorted active-suffix pass
+    (`poly_spans`) — O(total bytes), length-skew-proof: one huge doc in
+    a batch no longer forces full-batch passes per byte position."""
+    from tokcodec.functions.hashing import poly_spans
+
+    data, off, _ = flat_utf8(batch.column(text_col))
+    out_h = poly_spans(data, off[:-1], np.diff(off))
     return batch.append_column(out, pa.array(out_h.view(np.int64), type=pa.int64()))

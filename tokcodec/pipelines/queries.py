@@ -583,7 +583,18 @@ def antijoin_customers(sf_dir: str):
 
 
 def dedup_exact_documents(sf_dir: str):
-    return dedup.exact_dedup(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
+    """Oracle-parity mode: md5 content key, matching DuckDB's md5()."""
+    return dedup.exact_dedup(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]), method="md5"
+    )
+
+
+def dedup_exact_fnv_documents(sf_dir: str):
+    """The DEFAULT (hot-path) exact dedup: vectorized 128-bit FNV keys.
+    Oracle checks the surviving id set — GROUP BY text itself — so the
+    hash never appears in the contract."""
+    out = dedup.exact_dedup(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
+    return out.select_columns(["doc_id"])
 
 
 def _docs_with_near_dups(sf_dir: str):
@@ -615,6 +626,33 @@ def dedup_minhash_documents(sf_dir: str):
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
     return pa.Table.from_pylist(sorted(verified, key=lambda r: (r["a"], r["b"])))
+
+
+def dedup_minhash_recall(sf_dir: str):
+    """Recall bar for the MinHash-LSH near-dup pipeline (VERDICT r2
+    missing #2): the injected near-dups are deterministic — (id, id+1M)
+    for every id % 8 == 0 — so 'the pipeline recovers >= 95% of them at
+    tau=0.5' is oracle-checkable the way the ANN recall queries are: the
+    oracle emits the injected count and TRUE; rows hash-match iff the
+    Ray side measured the same count and met the bar."""
+    import pyarrow.parquet as pq
+
+    ds = _docs_with_near_dups(sf_dir)
+    pairs = dedup.lsh_candidate_pairs(ds)
+    verified = dedup.verify_jaccard(ds, pairs, tau=0.5)
+    found = {(r["a"], r["b"]) for r in verified}
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+    injected = [i for i in ids if i % 8 == 0]
+    n = len(injected)
+    hit = sum((i, i + 1_000_000) in found for i in injected)
+    return pa.table(
+        {
+            "n_injected": pa.array([n], pa.int64()),
+            "recall_ok": pa.array([n > 0 and hit / n >= 0.95], pa.bool_()),
+        }
+    )
 
 
 def ngram_profile_documents(sf_dir: str):
@@ -784,7 +822,20 @@ def multimodal_features(sf_dir: str):
         )
 
     media = ds.map_batches(to_media, batch_format="pyarrow")
-    return multimodal.extract_features(media, dim=8, concurrency=2)
+    feats = multimodal.extract_features(media, dim=8, concurrency=2)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        f = t.column("features").combine_chunks()
+        vals = np.asarray(f.values, dtype=np.float64).reshape(-1, 8)
+        cols: dict = {"media_id": t.column("media_id")}
+        for j in range(8):
+            cols[f"f{j}"] = pa.array(vals[:, j], pa.float64())
+        cols["payload_bytes"] = t.column("payload_bytes")
+        return pa.table(cols)
+
+    # flat f0..f7 so the md5-byte feature contract is hashable by the
+    # driver against the SQL oracle (md5_number_upper byte extraction)
+    return feats.map_batches(flatten, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------- catalog ----
@@ -832,7 +883,9 @@ def build_queries() -> dict:
         "having_orders": having_orders,
         "antijoin_customers": antijoin_customers,
         "dedup_exact_documents": dedup_exact_documents,
+        "dedup_exact_fnv_documents": dedup_exact_fnv_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
+        "dedup_minhash_recall": dedup_minhash_recall,
         "dedup_simhash_documents": dedup_simhash_documents,
         "ngram_profile_documents": ngram_profile_documents,
         "wordcount_topk_documents": wordcount_topk_documents,
@@ -981,6 +1034,22 @@ def build_oracle_sql() -> dict:
         ),
         "dedup_exact_documents": (
             "SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_exact_fnv_documents": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "dedup_minhash_recall": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_injected, TRUE AS recall_ok "
+            "FROM documents WHERE doc_id % 8 = 0"
+        ),
+        "multimodal_features": (
+            "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+            + ", ".join(
+                f"CAST((md5_number_upper(text) >> {8 * j}) & 255 AS DOUBLE)"
+                f" / 256.0 AS f{j}"
+                for j in range(8)
+            )
+            + ", octet_length(CAST(text AS BLOB)) AS payload_bytes FROM documents"
         ),
         "ngram_profile_documents": (
             "SELECT doc_id, CAST(CASE WHEN length(s) <= 4 THEN 1 "
