@@ -283,3 +283,138 @@ def test_window_events_null_ts(ray_session):
     neg = out[out["event_type"] == "b"]["win"].iloc[0]
     assert neg == (int(datetime.datetime(1960, 1, 1).timestamp() * 1e6) // 3_600_000_000)
     assert out["win"].isna().sum() == 1
+
+
+# ---------------------- nested zone maps + child-only decode (r3) ----------
+
+
+def _nested_table(lo: int, hi: int, with_nulls: bool = False) -> pa.Table:
+    n = hi - lo
+    inner = pa.StructArray.from_arrays(
+        [pa.array([float(i) for i in range(lo, hi)], pa.float64())],
+        names=["score"],
+    )
+    mask = pa.array([with_nulls and i % 5 == 0 for i in range(n)])
+    meta = pa.StructArray.from_arrays(
+        [
+            pa.array(range(lo, hi), pa.int64()),
+            pa.array([f"s{i % 3}" for i in range(lo, hi)]),
+            inner,
+        ],
+        names=["size", "src", "inner"],
+        mask=mask if with_nulls else None,
+    )
+    return pa.table(
+        {"doc_id": pa.array(range(lo, hi), pa.int64()), "meta": meta}
+    )
+
+
+def test_nested_struct_child_stats_in_header():
+    st = header_stats(read_header(encode_table(_nested_table(10, 60))))
+    assert st["meta.size"] == {"nulls": 0, "n": 50, "min": 10, "max": 59}
+    assert st["meta.src"]["min"] == "s0" and st["meta.src"]["max"] == "s2"
+    assert st["meta.inner.score"]["max"] == 59.0
+
+
+def test_nested_child_stats_count_parent_nulls():
+    st = header_stats(read_header(encode_table(_nested_table(0, 10, with_nulls=True))))
+    # rows 0 and 5 have a NULL parent struct: the child sees those as null
+    assert st["meta.size"]["nulls"] == 2
+    assert st["meta.size"]["min"] == 1 and st["meta.size"]["max"] == 9
+
+
+def test_nested_zone_map_prunes_blocks(tmp_path):
+    from tokcodec.predicate import col as c
+
+    p_lo = str(tmp_path / "lo.tokb")
+    p_hi = str(tmp_path / "hi.tokb")
+    open(p_lo, "wb").write(encode_table(_nested_table(0, 100)))
+    open(p_hi, "wb").write(encode_table(_nested_table(1000, 1100)))
+    e = c("meta.size") >= 1050
+    t, _ = decode_file(p_lo, predicate=e)
+    assert t.num_rows == 0 and t.schema.names == ["doc_id", "meta"]
+    t, _ = decode_file(p_hi, predicate=e)
+    assert t.num_rows == 50
+    assert t.column("meta").combine_chunks().field("size").to_pylist() == list(
+        range(1050, 1100)
+    )
+    # pruned-projection form: skipped block returns the PRUNED schema
+    t, _ = decode_file(p_lo, columns=["meta.size"], predicate=e)
+    assert t.num_rows == 0
+    assert t.schema.field("meta").type == pa.struct([pa.field("size", pa.int64())])
+
+
+def test_nested_decode_child_only_never_touches_siblings():
+    """columns=["meta.size"] must not read the sibling child's payload:
+    corrupting meta.src's segments leaves the size-only decode intact."""
+    from tokcodec.blocks import MAGIC, decode_table
+
+    t = _nested_table(0, 50)
+    blob = bytearray(encode_table(t, zstd=False))
+    header = read_header(bytes(blob))
+    hlen = int.from_bytes(blob[len(MAGIC) : len(MAGIC) + 8], "little")
+    base = len(MAGIC) + 8 + hlen
+    meta_spec = next(c for c in header["columns"] if c["name"] == "meta")
+
+    def seg_ids(node):
+        out = list(node["ps"])
+        for ch in node["k"].values():
+            out += seg_ids(ch)
+        return out
+
+    for sid in seg_ids(meta_spec["enc"]["k"]["f1"]):  # f1 == src
+        s = header["segments"][sid]
+        for j in range(s["o"], s["o"] + s["l"]):
+            blob[base + j] ^= 0xFF
+    got, _ = decode_table(bytes(blob), columns=["doc_id", "meta.size"])
+    assert got.column("doc_id").to_pylist() == list(range(50))
+    assert got.column("meta").combine_chunks().field("size").to_pylist() == list(
+        range(50)
+    )
+    assert got.schema.field("meta").type == pa.struct([pa.field("size", pa.int64())])
+    # whereas decoding the corrupted child itself must NOT silently match
+    try:
+        full, _ = decode_table(bytes(blob), columns=["meta.src"])
+        vals = full.column("meta").combine_chunks().field("src").to_pylist()
+        assert vals != t.column("meta").combine_chunks().field("src").to_pylist()
+    except Exception:
+        pass  # raising on corrupt payload is equally acceptable
+
+
+def test_nested_decode_full_absorbs_child_request():
+    t = _nested_table(0, 20, with_nulls=True)
+    blob = encode_table(t)
+    from tokcodec.blocks import decode_table
+
+    got, _ = decode_table(blob, columns=["meta.size", "meta"])
+    assert got.column("meta").combine_chunks().equals(
+        t.column("meta").combine_chunks()
+    )  # full column wins, parent validity intact
+    got2, _ = decode_table(blob, columns=["meta.inner.score"])
+    sc = got2.column("meta").combine_chunks()
+    assert sc.type == pa.struct(
+        [pa.field("inner", pa.struct([pa.field("score", pa.float64())]))]
+    )
+    assert sc.is_null().to_pylist() == t.column("meta").combine_chunks().is_null().to_pylist()
+
+
+def test_nested_decode_bad_child_path_fails_fast():
+    blob = encode_table(_nested_table(0, 5))
+    from tokcodec.blocks import decode_table
+
+    with pytest.raises(ValueError):
+        decode_table(blob, columns=["meta.nope"])
+    with pytest.raises(ValueError):
+        decode_table(blob, columns=["doc_id.x"])
+
+
+def test_decode_file_nested_projection_with_sibling_predicate(tmp_path):
+    """Predicate on meta.src while projecting meta.size: the filter
+    column is widened in, then the output re-projects to just size."""
+    from tokcodec.predicate import col as c
+
+    p = str(tmp_path / "b.tokb")
+    open(p, "wb").write(encode_table(_nested_table(0, 30)))
+    t, _ = decode_file(p, columns=["doc_id", "meta.size"], predicate=c("meta.src") == "s1")
+    assert t.column("doc_id").to_pylist() == [i for i in range(30) if i % 3 == 1]
+    assert t.schema.field("meta").type == pa.struct([pa.field("size", pa.int64())])

