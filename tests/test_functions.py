@@ -576,6 +576,85 @@ def test_band_join_count_semantics(ray_session):
     assert out["n"].tolist() == [2]
 
 
+def _skewed_join_tables(n_left=2000, n_right=400, seed=5):
+    """90% of rows on ONE key (the hot-key scenario salting exists for)."""
+    import datetime as dt
+
+    rng = np.random.default_rng(seed)
+    base = dt.datetime(2020, 1, 1)
+    lk = np.where(rng.random(n_left) < 0.9, 7, rng.integers(100, 110, n_left))
+    lts = [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 100_000, n_left)]
+    rk = np.where(rng.random(n_right) < 0.9, 7, rng.integers(100, 110, n_right))
+    rts = [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 100_000, n_right)]
+    left = pa.table(
+        {
+            "event_id": pa.array(range(n_left), pa.int64()),
+            "user_id": pa.array(lk, pa.int64()),
+            "ts": pa.array(lts, pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array(rk, pa.int64()),
+            "ts": pa.array(rts, pa.timestamp("us")),
+        }
+    )
+    return left, right
+
+
+def test_asof_join_salted_matches_unsalted(ray_session):
+    """Time-range salting must produce the identical result on a 90%
+    hot key, with per-(key,bucket) phase-1 groups bounded far below the
+    unsalted hot group (VERDICT r2 next #9)."""
+    import ray.data
+
+    from tokcodec.functions.joins import asof_join
+
+    left, right = _skewed_join_tables()
+    kw = dict(
+        left_key="user_id", right_key="user_id", left_ts="ts", right_ts="ts",
+        left_cols=["event_id"], out_ts="asof_ts",
+    )
+    plain = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), **kw
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    width = 10_000_000_000  # 10k seconds -> ~10 buckets over the range
+    salted = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        salt_width_us=width, **kw
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert plain.equals(salted) and len(plain) > 1000
+    # bound check: the hot key's largest (key,bucket) group is far
+    # smaller than its unsalted group
+    lt = left.column("ts").cast(pa.int64()).to_numpy()
+    hot = left.column("user_id").to_numpy() == 7
+    unsalted_group = int(hot.sum())
+    b = lt[hot] // width
+    biggest = int(np.bincount((b - b.min()).astype(np.int64)).max())
+    assert biggest < unsalted_group / 5
+
+
+def test_band_join_salted_matches_unsalted(ray_session):
+    import ray.data
+
+    from tokcodec.functions.joins import band_join_count
+
+    left, right = _skewed_join_tables(seed=6)
+    kw = dict(
+        left_key="user_id", right_key="user_id", left_ts="ts", right_ts="ts",
+        left_cols=["event_id"],
+        lo_offset_us=-3_600_000_000, hi_offset_us=3_600_000_000,
+    )
+    plain = band_join_count(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), **kw
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    salted = band_join_count(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        salt_width_us=5_000_000_000, **kw
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert plain.equals(salted) and len(plain) > 500
+
+
 def test_hll_accuracy_and_determinism(ray_session):
     import ray.data
 
