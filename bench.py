@@ -98,7 +98,7 @@ def run_bench() -> dict:
     out_dir = f"{_BASE}/enc_{SF_NAME}_{NUM_CPUS}"
     encode_runs = []
     best = None
-    for _rep in range(2):
+    for _rep in range(3 if NUM_CPUS >= 32 else 2):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.monotonic()
         r = encode_dataset(FIXTURE, out_dir, target_tokens=8_000_000)
@@ -179,6 +179,9 @@ def run_bench() -> dict:
         "parquet_zstd_bytes": parquet_bytes,
         "bytes_per_token": round(bytes_out / max(1, n_tok), 4),
         "size_vs_parquet": round(bytes_out / parquet_bytes, 4),
+        # host-throttle context for THIS snapshot (VERDICT r2 next #3):
+        # sustained-core ceiling measured right after the timed runs
+        "effective_cores_of_32": _effective_cores(),
     }
     ray.shutdown()
     return result

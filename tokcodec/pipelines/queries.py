@@ -698,6 +698,69 @@ def dedup_minhash_recall(sf_dir: str):
     )
 
 
+def dedup_simhash_recall(sf_dir: str):
+    """Recall bar for SimHash near-dup (same pattern as
+    dedup_minhash_recall): every injected (id, id+1M) mutation pair must
+    sit within Hamming distance 12 of its original for >= 95% of pairs.
+    Fully aggregate-shaped: signatures per batch, ONE groupby(pair_key)
+    aggregate pulling both sides' signatures onto one row, then a
+    vectorized XOR+popcount pass and a Sum/Count reduce — no per-pair
+    Python stage, no driver-side signature state."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _docs_with_near_dups(sf_dir)
+    sigs = ds.map_batches(
+        lambda t: dedup.simhash_batch(t).select(["doc_id", "simhash"]),
+        batch_format="pyarrow",
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        mut = ids >= 1_000_000
+        sig = t.column("simhash")
+        return pa.table(
+            {
+                "pair_key": pa.array(np.where(mut, ids - 1_000_000, ids), pa.int64()),
+                "sig_o": pc.if_else(pa.array(mut), pa.nulls(len(t), pa.int64()), sig),
+                "sig_m": pc.if_else(pa.array(~mut), pa.nulls(len(t), pa.int64()), sig),
+            }
+        )
+
+    both = (
+        sigs.map_batches(tag, batch_format="pyarrow")
+        .groupby("pair_key")
+        .aggregate(Max("sig_o", alias_name="o"), Max("sig_m", alias_name="m"))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t.column("o")), pc.is_valid(t.column("m")))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"inj": pa.array([], pa.int64()), "ok": pa.array([], pa.int64())})
+        o = t.column("o").to_numpy().view(np.uint64)
+        m = t.column("m").to_numpy().view(np.uint64)
+        x = o ^ m
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        return pa.table(
+            {
+                "inj": pa.array(np.ones(len(ham), np.int64)),
+                "ok": pa.array((ham <= 12).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        both.map_batches(score, batch_format="pyarrow")
+        .aggregate(Sum("inj", alias_name="n_injected"), Sum("ok", alias_name="n_ok"))
+    )
+    n, ok = int(agg["n_injected"] or 0), int(agg["n_ok"] or 0)
+    return pa.table(
+        {
+            "n_injected": pa.array([n], pa.int64()),
+            "recall_ok": pa.array([n > 0 and ok / n >= 0.95], pa.bool_()),
+        }
+    )
+
+
 def ngram_profile_documents(sf_dir: str):
     """Distinct CHARACTER 4-gram count per doc (n-gram Jaccard's per-doc
     building block), vectorized via UTF-8 char-start detection; oracle =
@@ -931,6 +994,7 @@ def build_queries() -> dict:
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_minhash_recall": dedup_minhash_recall,
         "dedup_simhash_documents": dedup_simhash_documents,
+        "dedup_simhash_recall": dedup_simhash_recall,
         "ngram_profile_documents": ngram_profile_documents,
         "wordcount_topk_documents": wordcount_topk_documents,
         "ann_bruteforce": ann_bruteforce,
@@ -1086,6 +1150,10 @@ def build_oracle_sql() -> dict:
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "dedup_minhash_recall": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_injected, TRUE AS recall_ok "
+            "FROM documents WHERE doc_id % 8 = 0"
+        ),
+        "dedup_simhash_recall": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_injected, TRUE AS recall_ok "
             "FROM documents WHERE doc_id % 8 = 0"
         ),
