@@ -449,9 +449,13 @@ def test_verify_jaccard_distributed_matches_exact(ray_session):
     assert all(b != 99 for _, b, _ in got)
 
 
-def test_verify_jaccard_shuffle_fallback_matches_broadcast(ray_session):
+def test_verify_jaccard_shuffle_fallback_matches_broadcast(ray_session, tmp_path):
     """The shuffle-join plan (pair list too big for the driver) must
-    produce exactly the broadcast plan's output (VERDICT r2 next #4)."""
+    produce exactly the broadcast plan's output (VERDICT r2 next #4).
+    Uses a LAZY read_parquet dataset — from_arrow would mask
+    materialized-only API usage (e.g. num_blocks)."""
+    import pyarrow.parquet as pq
+
     import ray.data
 
     rng = np.random.default_rng(11)
@@ -461,7 +465,9 @@ def test_verify_jaccard_shuffle_fallback_matches_broadcast(ray_session):
     t = pa.table(
         {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
     )
-    ds = ray.data.from_arrow(t)
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+    ds = ray.data.read_parquet(src)
     pairs = dedup.lsh_candidate_pairs(ds)
     key = lambda r: (r["a"], r["b"], r["jaccard"])
     broadcast = sorted(

@@ -278,7 +278,7 @@ def verify_jaccard(
     if n_pairs == 0:
         return []
     if n_pairs > max_broadcast_pairs:
-        return _verify_jaccard_shuffle(ds, pairs, text_col, id_col, k, tau)
+        return _verify_jaccard_shuffle(ds, pairs, text_col, id_col, k, tau, n_pairs)
     pair_rows = pairs.take_all()  # ids only: (a, b) per candidate pair
     doc2pids: dict = {}
     for pid, r in enumerate(pair_rows):
@@ -326,7 +326,7 @@ def verify_jaccard(
     return out
 
 
-def _verify_jaccard_shuffle(ds, pairs, text_col, id_col, k, tau):
+def _verify_jaccard_shuffle(ds, pairs, text_col, id_col, k, tau, n_pairs):
     """Shuffle-join verification plan: no driver-side pair state.
 
     pairs (a,b) → explode to (doc_id, a, b); corpus → per-doc DISTINCT
@@ -368,9 +368,11 @@ def _verify_jaccard_shuffle(ds, pairs, text_col, id_col, k, tau):
 
     exploded = pairs.map_batches(explode_pairs, batch_format="pyarrow")
     shingles = ds.map_batches(doc_shingles, batch_format="pyarrow")
+    # partition count sized by pair volume (num_blocks() raises on lazy
+    # datasets): ~50k pairs of shingle rows per reducer
+    nparts = int(max(8, min(512, n_pairs // 50_000 + 8)))
     joined = exploded.join(
-        shingles, join_type="inner", num_partitions=max(ds.num_blocks(), 8),
-        on=("doc_id",),
+        shingles, join_type="inner", num_partitions=nparts, on=("doc_id",)
     )
     per_sh = (
         joined.groupby(["a", "b", "sh"])
