@@ -1,14 +1,17 @@
 """Deduplication operators for training-data pipelines.
 
 Scale notes (100 TB design):
-- exact dedup: content hash inside `map_batches` (vectorized md5), then a
-  single hash-partitioned `groupby(hash)` keeping the min doc_id — the
-  only shuffle, over (hash, doc_id) pairs only, never the payload.
+- exact dedup: vectorized 128-bit content hash (double-FNV over the flat
+  UTF-8 buffer — no per-row Python; md5 mode kept for oracle parity)
+  inside `map_batches`, then a single hash-partitioned groupby keeping
+  the min doc_id — the only shuffle, over (hash, doc_id) pairs only,
+  never the payload.
 - MinHash+LSH near-dup: per-batch vectorized shingle→minhash signatures,
-  exploded to (band, band_hash, doc_id) rows (bands × small rows), one
-  `groupby` over band buckets → candidate pairs; exact-Jaccard
-  verification touches only candidate docs (broadcast of the involved
-  shingle sets via ray.put, not a second corpus-wide shuffle).
+  exploded to (band, band_hash, doc_id) rows, one `groupby` over band
+  buckets → candidate pairs (np.triu_indices emission, capped buckets,
+  native-aggregate distinct); exact-Jaccard verification auto-selects a
+  broadcast pair-index plan or — above `max_broadcast_pairs` — a
+  shuffle-join plan with zero driver pair state.
 - SimHash: vectorized 64-bit signatures; near-dups = equal signatures
   (or banded prefixes for Hamming<k).
 - embedding near-dup: cosine over normalized vectors via blocked matmul
