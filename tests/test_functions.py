@@ -94,12 +94,29 @@ def test_rolling_hash_values_pinned_and_skew_bounded():
     assert dt_skew < max(10 * dt_one, 5.0)
 
 
+def _fnv_word_ref(s: str, basis: int) -> int:
+    """Scalar reference of the word-at-a-time fingerprint lane."""
+    P, M = 1099511628211, (1 << 64) - 1
+    b = s.encode()
+    h = basis
+    for i in range(0, len(b), 8):
+        w = int.from_bytes(b[i : i + 8].ljust(8, b"\0"), "little")
+        h = ((h ^ w) * P) & M
+    return ((h ^ len(b)) * P) & M
+
+
 def test_fnv128_matches_scalar_and_packs():
-    texts = ["", "abc", "hello world", "¡unicode! ✓"]
+    from tokcodec.functions.hashing import _FNV_OFFSET, _FNV_OFFSET2
+
+    texts = ["", "abc", "exactly8", "hello world", "¡unicode! ✓", "a" * 1000]
     t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
     lo, hi = text.fnv128(t.column("text"))
-    assert lo.tolist() == [hashing.hash_str(s) for s in texts]
+    assert lo.tolist() == [_fnv_word_ref(s, _FNV_OFFSET) for s in texts]
+    assert hi.tolist() == [_fnv_word_ref(s, _FNV_OFFSET2) for s in texts]
     assert len(set(zip(lo.tolist(), hi.tolist()))) == len(texts)
+    # zero-padding must not collide: "a" vs "a\x00" (length is mixed in)
+    lo2, _ = text.fnv128(pa.array(["a", "a\x00"]))
+    assert lo2[0] != lo2[1]
     packed = text.add_fingerprint128(t).column("fp").to_pylist()
     assert packed[1][:8] == int(lo[1]).to_bytes(8, "little")
     assert packed[1][8:] == int(hi[1]).to_bytes(8, "little")

@@ -111,6 +111,73 @@ def fnv1a_spans2(
     return o1, o2
 
 
+def fnv1a_words2(
+    data: np.ndarray,
+    off: np.ndarray,
+    basis1: int = _FNV_OFFSET,
+    basis2: int = _FNV_OFFSET2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Two-lane WORD-AT-A-TIME FNV-style hash of contiguous spans
+    (``data[off[i]:off[i+1]]``) → (lo, hi) uint64[n].
+
+    h = ((h ^ u64_word) * P) per zero-padded little-endian 8-byte word,
+    then h = ((h ^ byte_len) * P) so zero padding can't collide.  NOT
+    byte-FNV-compatible — it's the throughput form for content
+    fingerprints, where only determinism and collision resistance
+    matter.  One packing scatter builds an 8-byte-aligned buffer, then
+    the length-sorted active-suffix Horner runs over uint64 words: 8×
+    fewer numpy passes and ~4× less gather traffic than the byte loop,
+    which is what lets the vectorized fingerprint beat a C md5 loop on
+    LONG docs too (see tools/bench_fingerprint.py)."""
+    lengths = np.diff(off)
+    n = len(lengths)
+    h1 = np.full(n, np.uint64(basis1), dtype=np.uint64)
+    h2 = np.full(n, np.uint64(basis2), dtype=np.uint64)
+    if n == 0:
+        return h1, h2
+    prime = np.uint64(_FNV_PRIME)
+    nwords = (lengths + 7) >> 3
+    total_w = int(nwords.sum())
+    with np.errstate(over="ignore"):
+        if total_w:
+            wo = np.empty(n + 1, dtype=np.int64)
+            wo[0] = 0
+            np.cumsum(nwords, out=wo[1:])
+            packed = np.zeros(total_w * 8, dtype=np.uint8)
+            total_b = int(lengths.sum())
+            if total_b:
+                base = int(off[0])
+                tgt = np.arange(total_b, dtype=np.int64)
+                tgt += np.repeat(wo[:-1] * 8 - (off[:-1] - base), lengths)
+                packed[tgt] = data[base : int(off[-1])]
+            words = packed.view(np.uint64)
+            order = np.argsort(nwords, kind="stable")
+            ws = nwords[order]
+            max_w = int(ws[-1])
+            idx = wo[:-1][order].astype(
+                np.int32 if total_w < (1 << 31) - 1 else np.int64
+            )
+            row = np.empty(n, dtype=np.uint64)
+            hs1 = h1[order]
+            hs2 = h2[order]
+            for i in range(max_w):
+                j0 = int(np.searchsorted(ws, i, side="right"))
+                np.take(words, idx[j0:], out=row[j0:])
+                np.bitwise_xor(hs1[j0:], row[j0:], out=hs1[j0:])
+                np.multiply(hs1[j0:], prime, out=hs1[j0:])
+                np.bitwise_xor(hs2[j0:], row[j0:], out=hs2[j0:])
+                np.multiply(hs2[j0:], prime, out=hs2[j0:])
+                idx[j0:] += 1
+            h1[order] = hs1
+            h2[order] = hs2
+        ln = lengths.astype(np.uint64)
+        np.bitwise_xor(h1, ln, out=h1)
+        np.multiply(h1, prime, out=h1)
+        np.bitwise_xor(h2, ln, out=h2)
+        np.multiply(h2, prime, out=h2)
+    return h1, h2
+
+
 def poly_spans(
     data: np.ndarray,
     starts: np.ndarray,

@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 from tokcodec.functions.hashing import (
     fnv1a_batch,
     fnv1a_spans,
-    fnv1a_spans2,
+    fnv1a_words2,
     hash_str,
     poly_spans,
 )
@@ -166,13 +166,15 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text", out: str = "fp") ->
 
 
 def fnv128(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized 128-bit content hash: two independent FNV-1a-64 passes
-    (distinct offset bases) over the flat UTF-8 buffer → (lo, hi)
-    uint64[n].  Collision odds at 10^10 docs: ~(10^10)^2 / 2^129 ≈
-    1.5e-19 — safe as exact-dedup's default key; md5 stays as the
-    DuckDB-parity mode."""
+    """Vectorized 128-bit content hash: two independent word-at-a-time
+    FNV-style lanes (distinct offset bases, length-mixed) over the flat
+    UTF-8 buffer → (lo, hi) uint64[n].  Collision odds at 10^10 docs:
+    ~(10^10)^2 / 2^129 ≈ 1.5e-19 — safe as exact-dedup's default key;
+    md5 stays as the DuckDB-parity mode.  8 bytes per numpy step, so it
+    beats the per-row C md5 loop on long docs too (throughput numbers:
+    tools/bench_fingerprint.py, logged in BASELINE.md)."""
     data, off, n = flat_utf8(texts)
-    return fnv1a_spans2(data, off[:-1], np.diff(off))
+    return fnv1a_words2(data, off)
 
 
 def add_fingerprint128(
