@@ -26,6 +26,13 @@ import subprocess
 import sys
 import time
 
+# Before any numpy import (here or in forked Ray workers): this sandbox
+# serves 2 MiB THP faults ~130x slower than 4 KiB faults after snapshot
+# restore — see tokcodec.__init__._disable_numpy_thp_madvise, which is
+# the in-process fix; the env var covers processes that import numpy
+# before tokcodec.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SF_NAME = os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
@@ -51,8 +58,71 @@ def _warm_worker():
     return 0
 
 
+def _touch_mb(n_mb: int) -> int:
+    # one write per 4 KiB page; chunked so no process holds > 256 MB
+    chunk = 256
+    done = 0
+    while done < n_mb:
+        buf = bytearray(min(chunk, n_mb - done) * 1024 * 1024)
+        for off in range(0, len(buf), 4096):
+            buf[off] = 1
+        done += min(chunk, n_mb - done)
+        del buf
+    return done
+
+
+def _cpu_probe_s() -> float:
+    """Seconds for a small in-cache numpy kernel (~0.1 s on a healthy
+    core).  Distinguishes 'page faults are slow' (warming helps) from
+    'the whole vCPU is degraded' (warming is wasted effort)."""
+    import numpy as np
+
+    x = (np.arange(2_000_000, dtype=np.int64) * 2654435761) % 977
+    t0 = time.monotonic()
+    for _ in range(3):
+        np.sort(x)
+    return time.monotonic() - t0
+
+
+def _warm_guest_memory() -> dict:
+    """Pre-fault guest RAM (untimed cluster prep, like the worker-pool
+    warm-up).  This sandbox VM restores from a snapshot with lazily
+    faulted memory: the FIRST touch of each page traps to the hypervisor
+    at ~7 MB/s per process (measured 2026-08-17: np.ones(800 MB) took
+    109 s cold, 0.05 s warm), which made every cold bench/pipeline run
+    look 50-500x slow.  A parallel page-stride pass pre-pays those
+    faults (~0.9 GB/s with 32 workers).  Probes first: skips when fresh
+    pages already fault at memory speed, and also when the vCPU itself
+    is degraded (host throttle window — warming can't fix that and
+    would burn minutes); both probe values are reported in the bench
+    JSON so a throttled snapshot is recognizable."""
+    import multiprocessing as mp
+
+    cpu_s = _cpu_probe_s()
+    t0 = time.monotonic()
+    probe_mb = 256
+    _touch_mb(probe_mb)
+    probe_rate = probe_mb / max(time.monotonic() - t0, 1e-9)
+    stats = {"warm_probe_mb_s": round(probe_rate), "cpu_probe_s": round(cpu_s, 2),
+             "warmed_gb": 0, "warm_s": 0.0}
+    if probe_rate > 800:  # fresh pages already fault at memory speed
+        return stats
+    if cpu_s > 1.0:  # vCPU degraded: faults aren't the (only) problem
+        return stats
+    total_mb = int(os.environ.get("TOKCODEC_WARM_GB", "48")) * 1024
+    nproc = 32
+    with mp.Pool(nproc) as p:
+        p.map(_touch_mb, [total_mb // nproc] * nproc)
+    stats["warmed_gb"] = total_mb // 1024
+    stats["warm_s"] = round(time.monotonic() - t0, 1)
+    return stats
+
+
 def run_bench() -> dict:
     import ray
+
+    warm_stats = _warm_guest_memory()  # must precede ray.init: workers +
+    # object store then start on already-faulted pages
 
     ray.init(
         address="local",
@@ -182,6 +252,7 @@ def run_bench() -> dict:
         # host-throttle context for THIS snapshot (VERDICT r2 next #3):
         # sustained-core ceiling measured right after the timed runs
         "effective_cores_of_32": _effective_cores(),
+        **warm_stats,
     }
     ray.shutdown()
     return result

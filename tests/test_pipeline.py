@@ -158,6 +158,69 @@ def test_parallel_plan_identical_to_serial(ray_session, tmp_path):
     assert ser["fingerprint"] == par["fingerprint"]
 
 
+def test_plan_cuts_snap_to_row_group_boundaries(tmp_path):
+    """With snapping on (the default), every partition cut that can land
+    on a row-group boundary within snap_frac*target does — so no row
+    group is decoded by two partitions — while a cut forced inside a
+    group (deviation beyond tolerance) stays exact."""
+    from tokcodec.synth import write_fixture
+
+    p = str(tmp_path / "snap.parquet")
+    write_fixture(p, n_rows=6000, seed=7, row_group_size=256, heavy_tail=False)
+    md = pq.ParquetFile(p).metadata
+    bounds = {0}
+    acc = 0
+    for i in range(md.num_row_groups):
+        acc += md.row_group(i).num_rows
+        bounds.add(acc)
+
+    snapped = plan_partitions(p, target_tokens=TARGET, parallel=False)
+    cuts = [s["row_start"] for s in snapped["partitions"]]
+    assert len(cuts) >= 3
+    assert all(c in bounds for c in cuts), f"unaligned cuts: {[c for c in cuts if c not in bounds]}"
+    # balance survives snapping: row groups are ~26k tokens vs the 1M
+    # target, so deviation stays well under the 2x skew bar
+    masses = [s["n_tok"] for s in snapped["partitions"]]
+    assert max(masses) < 2 * TARGET
+
+    # snap off => exact equal-mass cuts, generally NOT aligned
+    exact = plan_partitions(p, target_tokens=TARGET, parallel=False, snap_frac=0.0)
+    exact_cuts = [s["row_start"] for s in exact["partitions"][1:]]
+    assert any(c not in bounds for c in exact_cuts)
+
+
+def test_plan_snap_keeps_exact_cut_inside_monster_group(tmp_path):
+    """One row group holding >> target tokens must still be cut exactly
+    (mid-group): the nearest boundary's deviation exceeds tolerance, so
+    snapping declines and skew balancing wins."""
+    from tokcodec.synth import write_fixture
+
+    p = str(tmp_path / "monster.parquet")
+    # one giant row group: every boundary candidate is 8000 rows away
+    write_fixture(p, n_rows=8000, seed=11, row_group_size=8000, heavy_tail=False)
+    plan = plan_partitions(p, target_tokens=TARGET, parallel=False)
+    cuts = [s["row_start"] for s in plan["partitions"][1:]]
+    assert cuts, "expected multiple partitions"
+    assert all(0 < c < 8000 for c in cuts)
+    masses = [s["n_tok"] for s in plan["partitions"]]
+    assert max(masses) < 2 * TARGET
+
+
+def test_parallel_plan_snap_parity(ray_session, tmp_path):
+    """Snapping must not break serial/distributed parity: the wave-2 cut
+    tasks see the same row-group boundary candidates as the serial
+    planner (chunk edges are themselves row-group boundaries)."""
+    from tokcodec.synth import write_fixture
+
+    d = tmp_path / "snapmulti"
+    d.mkdir()
+    write_fixture(str(d / "a.parquet"), n_rows=5000, seed=21, row_group_size=128)
+    write_fixture(str(d / "b.parquet"), n_rows=3000, seed=22, row_group_size=512)
+    ser = plan_partitions(str(d), target_tokens=TARGET, parallel=False)
+    par = plan_partitions(str(d), target_tokens=TARGET, parallel=True)
+    assert ser["partitions"] == par["partitions"]
+
+
 def test_fingerprint_tracks_file_content(tmp_path):
     """Regenerating an input file in place (same path, new bytes) must
     change the plan fingerprint so stale manifests don't resume."""

@@ -14,4 +14,32 @@ owned by the caller (driver, bench.py, CLI, test fixture).
 
 __version__ = "0.1.0"
 
+
+def _disable_numpy_thp_madvise() -> None:
+    """Turn off numpy's madvise(MADV_HUGEPAGE) on large allocations.
+
+    This sandbox VM restores from a hypervisor snapshot with lazily
+    faulted guest memory.  A 4 KiB first-touch fault is served at
+    ~900 MB/s, but a 2 MiB transparent-huge-page fault is served at
+    ~7 MB/s — so numpy's default THP hint (policy [madvise] on this
+    kernel) made every first touch of a large array ~130x slower
+    (measured 2026-08-17: np.ones over 128 MB fresh = 18.6 s with the
+    hint, 0.08 s without).  Every entry path (driver, Ray workers,
+    tests, bench) imports tokcodec, so toggling here fixes all
+    processes regardless of env-var propagation.  Harmless on healthy
+    hosts: THP saves TLB misses worth a few percent at most, while the
+    downside here is two orders of magnitude.  No-op if the private
+    numpy hook moves (then NUMPY_MADVISE_HUGEPAGE=0 is the fallback)."""
+    try:
+        try:
+            from numpy._core import multiarray as _ma  # numpy >= 2
+        except ImportError:  # pragma: no cover - numpy 1.x layout
+            from numpy.core import multiarray as _ma  # type: ignore
+        _ma._set_madvise_hugepage(False)
+    except Exception:  # pragma: no cover - future numpy without the hook
+        pass
+
+
+_disable_numpy_thp_madvise()
+
 from tokcodec.schema import Schema, Field, Repetition, Type  # noqa: F401

@@ -44,6 +44,15 @@ from tokcodec.blocks import (
 
 DEFAULT_TARGET_TOKENS = 32_000_000  # ~64 MB of int32 tokens per partition
 
+# Partition cuts snap to the nearest parquet row-group boundary when the
+# token-mass deviation stays within snap_frac * target_tokens.  A cut in
+# the middle of a row group forces BOTH neighbouring partitions to decode
+# that row group (~2x read amplification when row-group mass ~ target
+# mass); aligned cuts decode every row group exactly once.  Monster rows /
+# row groups still get exact in-group cuts because their deviation
+# exceeds the tolerance — skew balancing is preserved where it matters.
+DEFAULT_SNAP_FRAC = 0.4
+
 
 # ------------------------------------------------------------- planning ----
 
@@ -62,6 +71,31 @@ def _chunk_total(path: str, rg_lo: int, rg_hi: int, token_col: str) -> int:
     return int(_ntok_chunk(path, rg_lo, rg_hi, token_col).sum())
 
 
+def _snap_row(
+    bl: int, cum: np.ndarray, base_mass: int, rg_bounds: np.ndarray, v: int, snap_tol: int
+) -> int:
+    """Snap an exact cut row `bl` (local) to the nearest row-group
+    boundary whose cumulative-mass deviation from the ideal cut value `v`
+    is within `snap_tol`; else keep the exact row.  Deterministic: on a
+    deviation tie the earlier boundary wins.  Used identically by the
+    serial and distributed planners so their plans stay bit-identical."""
+    if snap_tol <= 0 or len(rg_bounds) == 0:
+        return bl
+    j = int(np.searchsorted(rg_bounds, bl))
+    best_row, best_dev = bl, None
+    for c in (
+        ([int(rg_bounds[j - 1])] if j > 0 else [])
+        + ([int(rg_bounds[j])] if j < len(rg_bounds) else [])
+    ):
+        mass_at = base_mass + (int(cum[c - 1]) if c > 0 else 0)
+        dev = abs(mass_at - int(v))
+        if dev > snap_tol:
+            continue
+        if best_dev is None or dev < best_dev or (dev == best_dev and c < best_row):
+            best_row, best_dev = c, dev
+    return best_row
+
+
 def _chunk_cut_rows(
     path: str,
     rg_lo: int,
@@ -70,31 +104,47 @@ def _chunk_cut_rows(
     row_offset: int,
     base_mass: int,
     cut_vals: list[int],
+    snap_tol: int = 0,
 ) -> list[tuple[int, int]]:
     """Stats wave 2: for each global integer cut value v assigned to this
     chunk, return (global boundary row b, global cum-mass at b-1).
     Exactly replicates ``searchsorted(global_cum, v)`` because
     global_cum[i] = base_mass + local_cum[i - row_offset] within the
-    chunk, and all arithmetic is integer-exact."""
+    chunk, and all arithmetic is integer-exact.  With snap_tol > 0 the
+    exact row snaps to an adjacent row-group boundary within tolerance —
+    the same prev/next candidates the serial planner sees, because chunk
+    edges are themselves row-group boundaries."""
     mass = _ntok_chunk(path, rg_lo, rg_hi, token_col)
     cum = np.cumsum(mass)
+    rg_bounds = np.empty(0, dtype=np.int64)
+    if snap_tol > 0:
+        md = pq.ParquetFile(path).metadata
+        rg_rows = [md.row_group(i).num_rows for i in range(rg_lo, rg_hi)]
+        rg_bounds = np.concatenate(([0], np.cumsum(rg_rows, dtype=np.int64)))
     out = []
     for v in cut_vals:
         bl = int(np.searchsorted(cum, int(v) - base_mass))
         bl = min(bl, len(cum))
+        bl = _snap_row(bl, cum, base_mass, rg_bounds, int(v), snap_tol)
         cum_bm1 = base_mass + (int(cum[bl - 1]) if bl > 0 else 0)
         out.append((row_offset + bl, cum_bm1))
     return out
 
 
 def _file_token_plan(
-    path: str, target_tokens: int, token_col: str | None, mass: np.ndarray | None = None
+    path: str,
+    target_tokens: int,
+    token_col: str | None,
+    mass: np.ndarray | None = None,
+    snap_frac: float = DEFAULT_SNAP_FRAC,
 ) -> list[dict]:
     """Split one parquet file into row ranges of ~target token mass.
 
     Reads only the token-count column (or just row counts when absent) —
     the ~0.1% 'stats pass' that buys deterministic skew-balanced
-    partitioning (SURVEY.md §4 'Skew / stragglers').
+    partitioning (SURVEY.md §4 'Skew / stragglers').  Cuts snap to
+    row-group boundaries within snap_frac * target_tokens so each row
+    group decodes in exactly one partition (see DEFAULT_SNAP_FRAC).
     """
     f = pq.ParquetFile(path)
     n_rows = f.metadata.num_rows
@@ -109,6 +159,13 @@ def _file_token_plan(
     cum = np.cumsum(mass)
     total = int(cum[-1])
     n_parts = max(1, round(total / target_tokens))
+    snap_tol = int(snap_frac * target_tokens)
+    rg_bounds = np.empty(0, dtype=np.int64)
+    if snap_tol > 0:
+        rg_rows = [
+            f.metadata.row_group(i).num_rows for i in range(f.metadata.num_row_groups)
+        ]
+        rg_bounds = np.concatenate(([0], np.cumsum(rg_rows, dtype=np.int64)))
     # equal-mass boundaries; a single monster row stays alone in its part.
     # Cut values are EXACT integers (ceil in int arithmetic): identical
     # to searchsorted-against-float for in-range masses, and still exact
@@ -117,9 +174,11 @@ def _file_token_plan(
     for k in range(1, n_parts):
         cut = -((-k * total) // n_parts)
         b = int(np.searchsorted(cum, cut))
+        b = _snap_row(b, cum, 0, rg_bounds, cut, snap_tol)
         if b > bounds[-1]:
             bounds.append(b)
-    bounds.append(n_rows)
+    if bounds[-1] != n_rows:
+        bounds.append(n_rows)
     specs = []
     for row_start, row_end in zip(bounds[:-1], bounds[1:]):
         specs.append(
@@ -137,7 +196,10 @@ _PLAN_CHUNK_RGS = 64  # row groups per stats task
 
 
 def _plan_distributed(
-    files: list[str], target_tokens: int, token_col: str | None
+    files: list[str],
+    target_tokens: int,
+    token_col: str | None,
+    snap_frac: float = DEFAULT_SNAP_FRAC,
 ) -> list[list[dict]]:
     """Two-wave distributed stats pass with O(chunks + partitions) driver
     memory (never the raw n_tok arrays — the round-1 design shipped every
@@ -201,11 +263,12 @@ def _plan_distributed(
             ci = int(np.searchsorted(ends, v))  # first chunk with end >= v
             ci = min(ci, len(cl) - 1)
             per_chunk.setdefault(ci, []).append(v)
+        snap_tol = int(snap_frac * target_tokens)
         for ci, vals in sorted(per_chunk.items()):
             lo, hi, row_off = cl[ci]
             base = int(ends[ci - 1]) if ci > 0 else 0
             wave2.append(
-                (fi, cuts_task.remote(p, lo, hi, token_col, row_off, base, vals))
+                (fi, cuts_task.remote(p, lo, hi, token_col, row_off, base, vals, snap_tol))
             )
 
     bounds_of: dict[int, list[tuple[int, int]]] = {fi: [] for fi in file_cfg}
@@ -216,7 +279,7 @@ def _plan_distributed(
     for fi, p in enumerate(files):
         if fi not in file_cfg:
             # no token column (or empty): serial fallback reads no data
-            per_file.append(_file_token_plan(p, target_tokens, token_col))
+            per_file.append(_file_token_plan(p, target_tokens, token_col, snap_frac=snap_frac))
             continue
         n_rows = n_rows_of[fi]
         total = file_cfg[fi]["total"]
@@ -251,6 +314,7 @@ def plan_partitions(
     token_col: str | None = "n_tok",
     columns: list[str] | None = None,
     parallel: bool = True,
+    snap_frac: float = DEFAULT_SNAP_FRAC,
 ) -> dict:
     """Build the deterministic partition plan.
 
@@ -275,9 +339,12 @@ def plan_partitions(
     import ray
 
     if parallel and ray.is_initialized():
-        per_file = _plan_distributed(files, target_tokens, token_col)
+        per_file = _plan_distributed(files, target_tokens, token_col, snap_frac)
     else:
-        per_file = [_file_token_plan(p, target_tokens, token_col) for p in files]
+        per_file = [
+            _file_token_plan(p, target_tokens, token_col, snap_frac=snap_frac)
+            for p in files
+        ]
 
     partitions = []
     for specs in per_file:
@@ -288,6 +355,7 @@ def plan_partitions(
         "target_tokens": target_tokens,
         "token_col": token_col,
         "columns": columns,
+        "snap_frac": snap_frac,
         "files": [os.path.abspath(p) for p in files],
         # content stamp: a regenerated input file (same path, new bytes)
         # must invalidate prior manifests, not silently resume over them
@@ -407,6 +475,7 @@ def encode_dataset(
     zstd: bool = True,
     compute: str = "tasks",
     schema=None,
+    snap_frac: float = DEFAULT_SNAP_FRAC,
 ) -> dict:
     """Plan → encode all partitions (skipping complete ones) → summary.
 
@@ -423,7 +492,7 @@ def encode_dataset(
     import ray.data
 
     os.makedirs(out_dir, exist_ok=True)
-    plan = plan_partitions(input_paths, target_tokens, token_col, columns)
+    plan = plan_partitions(input_paths, target_tokens, token_col, columns, snap_frac=snap_frac)
     mf.atomic_write_json(os.path.join(out_dir, "plan.json"), plan)
 
     specs = plan["partitions"]
