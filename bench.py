@@ -118,6 +118,23 @@ def _warm_guest_memory() -> dict:
     return stats
 
 
+def _wait_for_healthy_cpu(max_wait_s: float = 150.0, bar_s: float = 0.25) -> dict:
+    """Throttle-recovery gate.  This host throttles HARD under sustained
+    all-core load (cpu probe degrades up to 30x) and recovers within
+    ~tens of seconds once load drops — so untimed prep work (fixture
+    generation, warm-up encodes) poisons the timed runs that follow it.
+    Sit idle until the single-core probe is back under `bar_s` (healthy
+    ~0.06-0.15 s) or `max_wait_s` elapses; report what happened so a
+    still-throttled snapshot is recognizable in the JSON."""
+    t0 = time.monotonic()
+    probe = _cpu_probe_s()
+    while probe > bar_s and time.monotonic() - t0 < max_wait_s:
+        time.sleep(10.0)
+        probe = _cpu_probe_s()
+    return {"recovery_wait_s": round(time.monotonic() - t0, 1),
+            "cpu_probe_at_timing_s": round(probe, 3)}
+
+
 def run_bench() -> dict:
     import ray
 
@@ -161,6 +178,10 @@ def run_bench() -> dict:
     encode_dataset(fixture_files[0], warm_dir, target_tokens=2_000_000)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
+    # the prep above (fixture gen + warm-up) can push the host into its
+    # load-induced throttle window; let it recover before timing
+    recovery = _wait_for_healthy_cpu()
+
     # best-of-2: this host's sustained CPU fluctuates minute-to-minute
     # (see BASELINE.md's effective-cores probes, 3.1-10.4 of 32 within
     # one session); min-of-two bounds the throttle-window exposure while
@@ -169,6 +190,8 @@ def run_bench() -> dict:
     encode_runs = []
     best = None
     for _rep in range(3 if NUM_CPUS >= 32 else 2):
+        if _rep:  # each rep re-throttles the host; let it breathe
+            _wait_for_healthy_cpu(max_wait_s=60.0)
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.monotonic()
         r = encode_dataset(FIXTURE, out_dir, target_tokens=8_000_000)
@@ -253,6 +276,7 @@ def run_bench() -> dict:
         # sustained-core ceiling measured right after the timed runs
         "effective_cores_of_32": _effective_cores(),
         **warm_stats,
+        **recovery,
     }
     ray.shutdown()
     return result

@@ -42,4 +42,37 @@ def _disable_numpy_thp_madvise() -> None:
 
 _disable_numpy_thp_madvise()
 
+
+def _tune_malloc_for_lazy_guest_memory() -> None:
+    """Keep large buffers in the (already-faulted) heap arena instead
+    of fresh mmaps.
+
+    Same root cause as the THP fix: this VM's guest memory is lazily
+    faulted from a hypervisor snapshot, and fault service degrades to
+    single-digit MB/s under load.  glibc returns every large (>128 KB)
+    allocation's mmap to the OS on free, so EVERY numpy temporary in a
+    hot loop re-faults its pages — measured 2026-08-17: a reused 200 MB
+    array cost 1.6-12.9 s per iteration with default malloc vs 0.00 s
+    with a raised mmap/trim threshold (warm-heap reuse).  Raise both
+    thresholds to 2 GB via mallopt (runtime, this process) and export
+    the glibc env knobs so Ray workers / subprocesses start with the
+    same behavior.  Trade-off: a worker may hold its peak arena (~GBs
+    for the heaviest tasks) instead of returning it — acceptable on a
+    128 GiB single-node box and irrelevant on healthy hosts."""
+    import ctypes
+    import os
+
+    thr = (1 << 31) - 1  # 2 GiB - 1: mallopt takes a C int
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(thr))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(thr))
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(ctypes.c_int(-3), ctypes.c_int(thr))  # M_MMAP_THRESHOLD
+        libc.mallopt(ctypes.c_int(-1), ctypes.c_int(thr))  # M_TRIM_THRESHOLD
+    except Exception:  # pragma: no cover - non-glibc platform
+        pass
+
+
+_tune_malloc_for_lazy_guest_memory()
+
 from tokcodec.schema import Schema, Field, Repetition, Type  # noqa: F401

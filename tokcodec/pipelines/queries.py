@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from tokcodec.functions import ann, dedup, multimodal, text
+from tokcodec.functions import ann, dedup, multimodal, sample, text
 from tokcodec.pipelines.encode import decode_stream, encode_stream
 from tokcodec.predicate import col, read_parquet_filtered
 from tokcodec.scanner import scan_schema
@@ -944,6 +944,84 @@ def multimodal_features(sf_dir: str):
     return feats.map_batches(flatten, batch_format="pyarrow")
 
 
+# ------------------------------------------------- corpus-mix (sample) ----
+
+SAMPLE_RATE = 0.4
+SPLIT_FRACTIONS = {"train": 0.6, "val": 0.2, "test": 0.2}
+QUOTA_BUDGET = 4000  # bytes of text per source group
+
+
+def sample_documents(sf_dir: str):
+    """Deterministic Bernoulli sample (md5 oracle-parity mode): the
+    driver-checked face of `sample.sample_dataset`; the scale path is
+    the vectorized fnv mode (unit-tested equivalent semantics)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return sample.sample_dataset(ds, SAMPLE_RATE, key_col="doc_id", method="md5")
+
+
+def split_documents(sf_dir: str):
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    return sample.split_dataset(
+        ds, SPLIT_FRACTIONS, key_col="doc_id", out="split", method="md5"
+    )
+
+
+def quota_documents(sf_dir: str):
+    """Per-source byte budget via the two-wave bucketed prefix-sum plan
+    (md5 mode so DuckDB's window cumsum is the exact oracle)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def add_bytes(t: pa.Table) -> pa.Table:
+        nb = pc.binary_length(t.column("text"))
+        return t.append_column("n_bytes", pc.cast(nb, pa.int64()))
+
+    withb = ds.map_batches(add_bytes, batch_format="pyarrow")
+    kept = sample.group_quota(
+        withb,
+        group_col="source",
+        mass_col="n_bytes",
+        budget=QUOTA_BUDGET,
+        key_col="doc_id",
+        method="md5",
+    )
+    return kept.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
+def _sample_oracle_sql() -> str:
+    thr = sample.rate_threshold(SAMPLE_RATE)
+    return (
+        "SELECT doc_id, source, n_chars FROM documents "
+        f"WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) < {thr}::UBIGINT"
+    )
+
+
+def _split_oracle_sql() -> str:
+    cuts = sample.split_thresholds(SPLIT_FRACTIONS)
+    h = "md5_number_lower(CAST(doc_id AS VARCHAR))"
+    whens = " ".join(
+        f"WHEN {h} < {thr}::UBIGINT THEN '{name}'" for name, thr in cuts[:-1]
+    )
+    return (
+        f"SELECT doc_id, source, CASE {whens} ELSE '{cuts[-1][0]}' END AS split "
+        "FROM documents"
+    )
+
+
+def _quota_oracle_sql() -> str:
+    return (
+        "SELECT doc_id, source FROM ("
+        "  SELECT doc_id, source,"
+        "         SUM(strlen(text)) OVER ("
+        "           PARTITION BY source"
+        "           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),"
+        "                    CAST(doc_id AS VARCHAR)) AS cum"
+        "  FROM documents"
+        f") WHERE cum <= {QUOTA_BUDGET}"
+    )
+
+
 # ----------------------------------------------------------- catalog ----
 
 
@@ -1007,6 +1085,9 @@ def build_queries() -> dict:
         "multimodal_meta_documents": multimodal_meta_documents,
         "multimodal_features": multimodal_features,
         "encode_stats_documents": encode_stats("documents"),
+        "sample_documents": sample_documents,
+        "split_documents": split_documents,
+        "quota_documents": quota_documents,
     }
     return qs
 
@@ -1196,4 +1277,7 @@ def build_oracle_sql() -> dict:
         "ann_ivf_partitioned_recall": (
             "SELECT vec_id AS query FROM embeddings WHERE vec_id IN (0, 1, 2)"
         ),
+        "sample_documents": _sample_oracle_sql(),
+        "split_documents": _split_oracle_sql(),
+        "quota_documents": _quota_oracle_sql(),
     }

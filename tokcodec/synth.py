@@ -31,11 +31,28 @@ def make_table(
     total = int(lengths.sum())
     # Zipf-like over the vocab via vectorized inverse-CDF (Pareto rounding:
     # rank = floor(u^(-1/(s-1))), s=1.3) — ~15x faster than rng.zipf at
-    # billion-token scale and equally deterministic/skewed.
-    u = np.maximum(rng.random(total), 1e-9)  # floor avoids inf at u→0
-    ranks = np.minimum(np.floor(u ** (-1.0 / 0.3)), 2.0**62).astype(np.int64)
-    tokens = ((ranks - 1) % VOCAB).astype(np.int32)
-    del u, ranks
+    # billion-token scale and equally deterministic/skewed.  Generated in
+    # fixed reused slabs (identical stream: Generator.random(out=) draws
+    # the same values as one big call) so peak temp memory is ~0.2 GB
+    # instead of ~3x the token array — on this sandbox, first-touch page
+    # faults are the cost that matters (see tokcodec.__init__ fixes).
+    tokens = np.empty(total, np.int32)
+    SLAB = 16_777_216
+    u = np.empty(min(SLAB, total))
+    r = np.empty(min(SLAB, total), np.int64)
+    for s in range(0, total, SLAB):
+        n = min(SLAB, total - s)
+        us, rs = u[:n], r[:n]
+        rng.random(out=us)
+        np.maximum(us, 1e-9, out=us)  # floor avoids inf at u→0
+        np.power(us, -1.0 / 0.3, out=us)
+        np.floor(us, out=us)
+        np.minimum(us, 2.0**62, out=us)
+        np.copyto(rs, us, casting="unsafe")
+        rs -= 1
+        rs %= VOCAB
+        np.copyto(tokens[s : s + n], rs, casting="unsafe")
+    del u, r
     offsets = np.concatenate(([0], np.cumsum(lengths, dtype=np.int64))).astype(np.int32)
     tok_arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(tokens, type=pa.int32()))
     src_ids = rng.integers(0, len(SOURCES), size=n_rows)
@@ -85,7 +102,12 @@ def write_fixture_dir(
     except ImportError:
         use_ray = False
     if use_ray:
-        task = ray.remote(num_cpus=1)(_one)
+        # num_cpus=2 halves generation concurrency: each task peaks at
+        # ~3 GB RSS and saturates a core for tens of seconds, and this
+        # sandbox host throttles HARD under sustained all-core load
+        # (BASELINE.md probes) — a narrower burst finishes sooner and
+        # leaves the host healthier for whatever is timed next
+        task = ray.remote(num_cpus=2)(_one)
         ray.get([task.remote(*j) for j in jobs])
     else:
         for j in jobs:
