@@ -173,9 +173,15 @@ def run_bench() -> dict:
     # worker before the measured run
     warm = ray.remote(num_cpus=1)(_warm_worker)
     ray.get([warm.remote() for _ in range(NUM_CPUS)])
+    # full-size warm-up: the first encode over a fresh worker pool pays
+    # every arena's first-touch faults (this host serves them at single-
+    # digit MB/s under load — see tokcodec.__init__); one untimed full
+    # run leaves all worker heaps at peak size so the timed reps measure
+    # compute, not fault service (observed 36 s -> 17 s across cold
+    # reps on identical code)
     warm_dir = f"{_BASE}/warmup_enc"
     shutil.rmtree(warm_dir, ignore_errors=True)
-    encode_dataset(fixture_files[0], warm_dir, target_tokens=2_000_000)
+    encode_dataset(FIXTURE, warm_dir, target_tokens=8_000_000)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     # the prep above (fixture gen + warm-up) can push the host into its
@@ -206,6 +212,7 @@ def run_bench() -> dict:
     parquet_bytes = sum(os.path.getsize(fp) for fp in fixture_files)
 
     # decode throughput + spot bit-identical check on one partition
+    _wait_for_healthy_cpu(max_wait_s=60.0)  # encode reps re-throttle the host
     t0 = time.monotonic()
     assert decode_dataset(out_dir).count() == N_ROWS
     decode_s = time.monotonic() - t0
@@ -232,12 +239,14 @@ def run_bench() -> dict:
     tok_ds = ray.data.read_parquet(text_fixture).map_batches(
         _text.tokenize, batch_format="pyarrow"
     )
+    _wait_for_healthy_cpu(max_wait_s=60.0)
     t0 = time.monotonic()
     tok_ntok = int(tok_ds.sum("n_tok"))
     tokenize_s = time.monotonic() - t0
     queries["tokenize_documents"] = round(tokenize_s, 3)
 
     # per-query timings over the SF dir tables
+    _wait_for_healthy_cpu(max_wait_s=60.0)
     qs = build_queries()
     for name in [
         "roundtrip_documents",

@@ -1022,6 +1022,90 @@ def _quota_oracle_sql() -> str:
     )
 
 
+# --------------------------------------------------- sequence packing ----
+
+PACK_SEQ_LEN = 512
+
+
+def pack_chunks_documents(sf_dir: str):
+    """Concat-and-chunk sequence packing (pipelines/pack.py) over the
+    tokenized documents table, surfaced as chunk metadata so DuckDB can
+    verify the packing layout exactly: per chunk, its token count, the
+    number of documents overlapping it, and the first/last doc id.
+    Tokenize runs distributed; the tokenized table (oracle-scale small)
+    is sorted and staged to one parquet file so the pack plan's global
+    order is doc_id order — matching the oracle's ORDER BY; the pack
+    itself is the distributed planned pipeline under test."""
+    import tempfile
+
+    from tokcodec.pipelines import pack as packmod
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    # tokenize emits the north-rule doc_id:string — cast back to int64
+    # BEFORE sorting so the global order is numeric like the oracle's
+    tok = (
+        ds.map_batches(text.tokenize, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("doc_id"),
+                "doc_id",
+                pc.cast(t.column("doc_id"), pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("doc_id")
+    )
+    staged = pa.concat_tables(
+        [pa.table(b) for b in tok.iter_batches(batch_format="pyarrow")]
+    ).select(["doc_id", "tokens", "n_tok"])
+    tmp = tempfile.mkdtemp(prefix="tokcodec_pack_")
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(staged, f"{tmp}/tokens.parquet", row_group_size=64)
+    res = packmod.pack_dataset(
+        f"{tmp}/tokens.parquet",
+        f"{tmp}/out",
+        seq_len=PACK_SEQ_LEN,
+        target_tokens=4096,  # force many partitions -> stitching on the oracle path
+    )
+    out = packmod.read_packed(f"{tmp}/out")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "chunk_id": pc.cast(t.column("chunk_id"), pa.int64()),
+                "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+                "first_doc": pc.cast(t.column("first_doc"), pa.int64()),
+                "last_doc": pc.cast(t.column("last_doc"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _pack_oracle_sql() -> str:
+    L = PACK_SEQ_LEN
+    return (
+        "WITH toks AS ("
+        "  SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n"
+        "  FROM documents), "
+        "ord AS ("
+        "  SELECT doc_id, n,"
+        "         CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s,"
+        "         CAST(SUM(n) OVER (ORDER BY doc_id) AS BIGINT) AS e"
+        "  FROM toks), "
+        "spans AS ("
+        "  SELECT o.doc_id, gs.c AS chunk_id,"
+        f"         LEAST(o.e, (gs.c + 1) * {L}) - GREATEST(o.s, gs.c * {L}) AS overlap"
+        f"  FROM ord o, LATERAL (SELECT unnest(generate_series(o.s // {L}, (o.e - 1) // {L}))) AS gs(c)"
+        "  WHERE o.n > 0) "
+        "SELECT chunk_id, CAST(SUM(overlap) AS BIGINT) AS n_tok,"
+        "       CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        "       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+        "FROM spans GROUP BY chunk_id"
+    )
+
+
 # ----------------------------------------------------------- catalog ----
 
 
@@ -1088,6 +1172,7 @@ def build_queries() -> dict:
         "sample_documents": sample_documents,
         "split_documents": split_documents,
         "quota_documents": quota_documents,
+        "pack_chunks_documents": pack_chunks_documents,
     }
     return qs
 
@@ -1280,4 +1365,5 @@ def build_oracle_sql() -> dict:
         "sample_documents": _sample_oracle_sql(),
         "split_documents": _split_oracle_sql(),
         "quota_documents": _quota_oracle_sql(),
+        "pack_chunks_documents": _pack_oracle_sql(),
     }
