@@ -135,6 +135,22 @@ def _wait_for_healthy_cpu(max_wait_s: float = 150.0, bar_s: float = 0.25) -> dic
             "cpu_probe_at_timing_s": round(probe, 3)}
 
 
+def _wait_for_parallel_headroom(bar_cores: float = 18.0, max_wait_s: float = 180.0) -> dict:
+    """Parallel-ceiling gate.  The single-core probe can read healthy
+    while the host caps SUSTAINED all-core work at ~12 of 32 cores (a
+    17.4 s encode at probe 0.058 s decomposed exactly to core_seconds /
+    effective_cores) — so gate the timed section on the measured
+    parallel ceiling itself, not single-core latency.  Probes are ~2 s
+    bursts every 15 s; reports the ceiling seen at timing."""
+    t0 = time.monotonic()
+    eff = _effective_cores()
+    while eff < bar_cores and time.monotonic() - t0 < max_wait_s:
+        time.sleep(15.0)
+        eff = _effective_cores()
+    return {"headroom_wait_s": round(time.monotonic() - t0, 1),
+            "cores_at_timing": eff}
+
+
 def run_bench() -> dict:
     import ray
 
@@ -187,6 +203,7 @@ def run_bench() -> dict:
     # the prep above (fixture gen + warm-up) can push the host into its
     # load-induced throttle window; let it recover before timing
     recovery = _wait_for_healthy_cpu()
+    recovery.update(_wait_for_parallel_headroom())
 
     # best-of-2: this host's sustained CPU fluctuates minute-to-minute
     # (see BASELINE.md's effective-cores probes, 3.1-10.4 of 32 within
@@ -197,7 +214,7 @@ def run_bench() -> dict:
     best = None
     for _rep in range(3 if NUM_CPUS >= 32 else 2):
         if _rep:  # each rep re-throttles the host; let it breathe
-            _wait_for_healthy_cpu(max_wait_s=60.0)
+            _wait_for_parallel_headroom(max_wait_s=90.0)
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.monotonic()
         r = encode_dataset(FIXTURE, out_dir, target_tokens=8_000_000)
@@ -212,7 +229,7 @@ def run_bench() -> dict:
     parquet_bytes = sum(os.path.getsize(fp) for fp in fixture_files)
 
     # decode throughput + spot bit-identical check on one partition
-    _wait_for_healthy_cpu(max_wait_s=60.0)  # encode reps re-throttle the host
+    _wait_for_parallel_headroom(max_wait_s=90.0)  # encode reps re-throttle the host
     t0 = time.monotonic()
     assert decode_dataset(out_dir).count() == N_ROWS
     decode_s = time.monotonic() - t0
@@ -239,14 +256,14 @@ def run_bench() -> dict:
     tok_ds = ray.data.read_parquet(text_fixture).map_batches(
         _text.tokenize, batch_format="pyarrow"
     )
-    _wait_for_healthy_cpu(max_wait_s=60.0)
+    _wait_for_parallel_headroom(max_wait_s=90.0)
     t0 = time.monotonic()
     tok_ntok = int(tok_ds.sum("n_tok"))
     tokenize_s = time.monotonic() - t0
     queries["tokenize_documents"] = round(tokenize_s, 3)
 
     # per-query timings over the SF dir tables
-    _wait_for_healthy_cpu(max_wait_s=60.0)
+    _wait_for_parallel_headroom(max_wait_s=60.0)
     qs = build_queries()
     for name in [
         "roundtrip_documents",
