@@ -95,6 +95,33 @@ def test_float_roundtrip_bit_identical():
                 == a.view(np.uint32 if dt is np.float32 else np.uint64)).all()
 
 
+def test_float_bss_roundtrip_and_selection():
+    # embedding-like data: random floats in a narrow range share exponent
+    # bytes, so byte-stream split must win the auto-selection and shrink
+    # the post-zstd size vs plain
+    from tokcodec.codecs.intcodecs import _dec_bss, _enc_bss, _est_z, _node
+
+    rng = np.random.default_rng(7)
+    for dt, n in ((np.float32, 50000), (np.float64, 20001), (np.float32, 37)):
+        a = (rng.standard_normal(n) * 0.1).astype(dt)
+        if n > 100:
+            a[::97] = np.nan
+            a[::101] = -np.inf
+        dec = _dec_bss(_enc_bss(a))
+        view = np.uint32 if dt is np.float32 else np.uint64
+        assert dec.dtype == a.dtype and (dec.view(view) == a.view(view)).all()
+    a = (rng.standard_normal(60000) * 0.1).astype(np.float32)
+    enc = encode_float_auto(a)
+    assert enc["c"] == "fbss"
+    assert (decode_float(enc).view(np.uint32) == a.view(np.uint32)).all()
+    plain = _node("fplain", {"dt": a.dtype.str, "n": len(a)},
+                  [np.ascontiguousarray(a).view(np.uint8).reshape(-1)])
+    assert _est_z(enc) < _est_z(plain)
+    # empty array
+    e = np.array([], dtype=np.float32)
+    assert len(decode_float(encode_float_auto(e))) == 0
+
+
 def test_float_dict_low_cardinality():
     a = np.tile(np.array([1.5, 2.5, -0.0, 3.25], dtype=np.float32), 5000)
     enc = encode_float_auto(a)

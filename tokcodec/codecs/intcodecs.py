@@ -297,9 +297,30 @@ def decode_int(enc: dict) -> np.ndarray:
 # ---------------------------------------------------------------- float ----
 
 
+def _enc_bss(arr: np.ndarray) -> dict:
+    """Byte-stream split (Parquet's BYTE_STREAM_SPLIT idea): transpose the
+    per-value byte planes so the container zstd sees all exponent bytes
+    together — high-entropy mantissa bytes stop poisoning the compressible
+    sign/exponent stream.  Bit-identical (pure byte permutation)."""
+    bytes2d = np.ascontiguousarray(arr).view(np.uint8).reshape(len(arr), arr.dtype.itemsize)
+    planes = np.ascontiguousarray(bytes2d.T).reshape(-1)
+    return _node("fbss", {"dt": arr.dtype.str, "n": len(arr)}, [planes])
+
+
+def _dec_bss(enc: dict) -> np.ndarray:
+    m = enc["m"]
+    dt = np.dtype(m["dt"])
+    n = m["n"]
+    planes = np.frombuffer(enc["p"][0], dtype=np.uint8)[: n * dt.itemsize]
+    bytes2d = np.ascontiguousarray(planes.reshape(dt.itemsize, n).T)
+    return bytes2d.reshape(-1).view(dt)[:n]
+
+
 def encode_float_auto(arr: np.ndarray) -> dict:
-    """Floats: plain, or dict when cardinality is low (bit-identical via
-    viewing the raw bits as integers so NaN payloads survive)."""
+    """Floats: plain, byte-stream split, or dict when cardinality is low
+    (bit-identical via viewing the raw bits as integers so NaN payloads
+    survive).  plain-vs-bss is scored on estimated post-container zstd
+    size from a prefix sample, same policy as `_best_int`."""
     n = len(arr)
     view = arr.view(np.uint32 if arr.dtype == np.float32 else np.uint64)
     if n > 16:
@@ -316,6 +337,18 @@ def encode_float_auto(arr: np.ndarray) -> dict:
             )
             if _size(enc) < arr.nbytes:
                 return enc
+    sample = arr[: 4 * SAMPLE] if n > 4 * SAMPLE else arr
+    plain_est = _est_z(_node("fplain", {"dt": arr.dtype.str, "n": len(sample)},
+                             [np.ascontiguousarray(sample).view(np.uint8).reshape(-1)]))
+    # score bss per byte-plane: a whole-buffer prefix ratio lands on the
+    # random mantissa planes and extrapolates wrongly, while each plane is
+    # homogeneous, so one prefix ratio per plane is accurate (the container
+    # compresses the single concatenated payload to ~the sum of the planes)
+    sbytes = np.ascontiguousarray(sample).view(np.uint8).reshape(len(sample), arr.dtype.itemsize)
+    bss_est = _est_z(_node("fbss", {"dt": arr.dtype.str, "n": len(sample)},
+                           [np.ascontiguousarray(sbytes[:, i]) for i in range(arr.dtype.itemsize)]))
+    if bss_est < plain_est:
+        return _enc_bss(arr)
     return _node("fplain", {"dt": arr.dtype.str, "n": n}, [np.ascontiguousarray(arr).view(np.uint8).reshape(-1)])
 
 
@@ -324,6 +357,8 @@ def decode_float(enc: dict) -> np.ndarray:
     dt = np.dtype(m["dt"])
     if enc["c"] == "fplain":
         return np.frombuffer(enc["p"][0], dtype=dt)[: m["n"]]
+    if enc["c"] == "fbss":
+        return _dec_bss(enc)
     uniq = _dec_plain(enc["k"]["values"])
     codes = decode_int(enc["k"]["codes"])
     return uniq[codes].view(dt)
