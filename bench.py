@@ -245,20 +245,41 @@ def run_bench() -> dict:
 
     from tokcodec.functions import text as _text
 
-    text_fixture = f"{_BASE}/{SF_NAME}_text_v2.parquet"
-    if not os.path.exists(text_fixture):
+    # MULTI-FILE fixture: a single parquet file becomes ONE read task, and
+    # the fused ReadParquet->MapBatches(tokenize) then runs on one core —
+    # the v2 single-file fixture measured exactly single-core throughput
+    # (~3.8 Mtok/s) at every CPU count.  One file per expected task keeps
+    # the stage genuinely parallel.
+    text_fixture = f"{_BASE}/{SF_NAME}_text_v3"
+    if not os.path.isdir(text_fixture):
         doc = _pq.read_table(
             f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
         )
         reps = max(1, 400_000 // max(1, doc.num_rows))
         tiled = _pa.concat_tables([doc] * reps)
-        _pq.write_table(tiled, text_fixture, row_group_size=4096)
-    tok_ds = ray.data.read_parquet(text_fixture).map_batches(
-        _text.tokenize, batch_format="pyarrow"
+        os.makedirs(text_fixture, exist_ok=True)
+        n_files = 64
+        step = (tiled.num_rows + n_files - 1) // n_files
+        for fi in range(n_files):
+            part = tiled.slice(fi * step, step)
+            if part.num_rows:
+                _pq.write_table(
+                    part, f"{text_fixture}/part-{fi:03d}.parquet", row_group_size=4096
+                )
+    # one block per CPU (tiny blocks make scheduling dominate: 128 blocks
+    # of 3k rows ran 4-6 s where the UDF work is ~5 core-s), whole-block
+    # batches, and a per-batch partial sum so the wide tokens column never
+    # enters the aggregate exchange
+    tok_ds = ray.data.read_parquet(
+        text_fixture, override_num_blocks=NUM_CPUS
+    ).map_batches(_text.tokenize, batch_format="pyarrow", batch_size=None)
+    tok_ds = tok_ds.map_batches(
+        lambda b: _pa.table({"s": [_pa.compute.sum(b["n_tok"]).as_py()]}),
+        batch_format="pyarrow",
     )
     _wait_for_parallel_headroom(max_wait_s=90.0)
     t0 = time.monotonic()
-    tok_ntok = int(tok_ds.sum("n_tok"))
+    tok_ntok = int(tok_ds.sum("s"))
     tokenize_s = time.monotonic() - t0
     queries["tokenize_documents"] = round(tokenize_s, 3)
 
