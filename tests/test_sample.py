@@ -180,3 +180,65 @@ def test_quota_partition_independent(ray_session):
         ).take_all()
     }
     assert a == b
+
+
+# ------------------------------ grouped top-k ------------------------------
+
+
+def _topk_reference(t: pa.Table, k: int) -> list[tuple]:
+    import pandas as pd
+
+    df = t.to_pandas().sort_values(
+        ["source", "mass", "doc_id"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("source").cumcount()
+    kept = df[df["rank"] < k]
+    return sorted(zip(kept["doc_id"], kept["source"], kept["mass"]))
+
+
+def test_grouped_topk_matches_reference(ray_session):
+    t = _docs_table(n=500, n_groups=6)
+    out = sample.grouped_topk(
+        _ds(t), group_col="source", order_col="mass", k=7, tie_col="doc_id"
+    ).take_all()
+    got = sorted((r["doc_id"], r["source"], r["mass"]) for r in out)
+    assert got == _topk_reference(t, 7)
+
+
+def test_grouped_topk_skewed_and_small_groups(ray_session):
+    # one group holds 90% of rows; another has fewer rows than k
+    n = 1000
+    src = ["hot"] * 900 + ["mid"] * 97 + ["tiny"] * 3
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "source": pa.array(src),
+            "mass": pa.array(
+                np.random.default_rng(5).integers(0, 50, n), type=pa.int64()
+            ),
+        }
+    )
+    out = sample.grouped_topk(
+        _ds(t), group_col="source", order_col="mass", k=10, tie_col="doc_id"
+    ).take_all()
+    got = sorted((r["doc_id"], r["source"], r["mass"]) for r in out)
+    assert got == _topk_reference(t, 10)
+    assert sum(1 for r in out if r["source"] == "tiny") == 3  # whole group kept
+
+
+def test_grouped_topk_ascending(ray_session):
+    t = _docs_table(n=300, n_groups=3)
+    out = sample.grouped_topk(
+        _ds(t), group_col="source", order_col="mass", k=4, tie_col="doc_id",
+        descending=False,
+    ).take_all()
+    import pandas as pd
+
+    df = t.to_pandas().sort_values(
+        ["source", "mass", "doc_id"], ascending=[True, True, True]
+    )
+    df["rank"] = df.groupby("source").cumcount()
+    ref = sorted(
+        zip(*(df[df["rank"] < 4][c] for c in ("doc_id", "source", "mass")))
+    )
+    assert sorted((r["doc_id"], r["source"], r["mass"]) for r in out) == ref

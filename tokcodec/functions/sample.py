@@ -260,3 +260,53 @@ def group_quota(
     return interior.union(boundary).map_batches(
         lambda t: t.select(cols), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def grouped_topk(
+    ds,
+    group_col: str,
+    order_col: str,
+    k: int,
+    tie_col: str = "doc_id",
+    descending: bool = True,
+):
+    """Top-k rows per group WITHOUT a global sort — SQL semantics
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY order [DESC],
+    tie) <= k`` (the "keep the best k docs per source" corpus-mix op).
+
+    Two-wave plan: wave 1 prunes every block to at most k rows per
+    group present (one vectorized block-local sort + run-length rank —
+    no per-row Python), so the only exchange, wave 2's
+    ``groupby(group)``, moves <= k rows per group per block instead of
+    the whole table; the per-group merge re-applies the same selection
+    on <= k x blocks rows.  Deterministic via the tie column.  At 100 TB
+    the shuffle volume is O(groups x k x blocks), independent of row
+    count; a hot group costs one bounded merge, not a skewed sort."""
+    order_dir = "descending" if descending else "ascending"
+    keys = [(group_col, "ascending"), (order_col, order_dir), (tie_col, "ascending")]
+
+    def _rank_prune(t: pa.Table, sort_keys) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        s = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        g = s.column(group_col)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        codes = np.asarray(pc.dictionary_encode(g).indices)
+        n = len(codes)
+        starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
+        runs = np.diff(np.concatenate((starts, [n])))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, runs)
+        return s.filter(pa.array(rank < k))
+
+    def prune(t: pa.Table) -> pa.Table:
+        return _rank_prune(t, keys)
+
+    def merge(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=keys[1:]))
+        return s.slice(0, k)
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

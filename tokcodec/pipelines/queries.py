@@ -966,6 +966,30 @@ def split_documents(sf_dir: str):
     )
 
 
+TOPK_PER_GROUP = 5
+
+
+def topk_per_source(sf_dir: str):
+    """Distributed per-group top-k (best k docs per source by length):
+    two-wave plan in `sample.grouped_topk` — per-block prune to <= k
+    rows per group, then one bounded groupby(source) merge; shuffle
+    volume O(groups x k x blocks), never a global sort."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return sample.grouped_topk(
+        ds, group_col="source", order_col="n_chars", k=TOPK_PER_GROUP,
+        tie_col="doc_id",
+    )
+
+
+def _topk_per_source_oracle_sql() -> str:
+    return (
+        "SELECT doc_id, source, n_chars FROM documents "
+        "QUALIFY ROW_NUMBER() OVER ("
+        "  PARTITION BY source ORDER BY n_chars DESC, doc_id"
+        f") <= {TOPK_PER_GROUP}"
+    )
+
+
 def quota_documents(sf_dir: str):
     """Per-source byte budget via the two-wave bucketed prefix-sum plan
     (md5 mode so DuckDB's window cumsum is the exact oracle)."""
@@ -1172,6 +1196,7 @@ def build_queries() -> dict:
         "sample_documents": sample_documents,
         "split_documents": split_documents,
         "quota_documents": quota_documents,
+        "topk_per_source": topk_per_source,
         "pack_chunks_documents": pack_chunks_documents,
     }
     return qs
@@ -1365,5 +1390,6 @@ def build_oracle_sql() -> dict:
         "sample_documents": _sample_oracle_sql(),
         "split_documents": _split_oracle_sql(),
         "quota_documents": _quota_oracle_sql(),
+        "topk_per_source": _topk_per_source_oracle_sql(),
         "pack_chunks_documents": _pack_oracle_sql(),
     }
