@@ -95,6 +95,32 @@ def test_float_roundtrip_bit_identical():
                 == a.view(np.uint32 if dt is np.float32 else np.uint64)).all()
 
 
+def test_int_byte_plane_split_roundtrip_and_selection():
+    from tokcodec.codecs.intcodecs import _dec_bps, _enc_bps, _est_z
+
+    rng = np.random.default_rng(13)
+    for a in (
+        rng.integers(0, 50257, 60000).astype(np.int64),       # token-id width
+        rng.integers(-1000, 65000, 30001).astype(np.int64),   # negative ref
+        rng.integers(0, 2**40, 7777).astype(np.int64),        # 5->8 byte width
+    ):
+        e = _enc_bps(a)
+        assert e is not None and len(e["p"]) == e["m"]["w"]  # one payload per plane
+        d = _dec_bps(e)
+        assert d.dtype == a.dtype and (d == a).all()
+    # <=8-bit range: nothing to split
+    assert _enc_bps(rng.integers(0, 200, 1000).astype(np.int64)) is None
+    # zipf-skewed token ids (the bench corpus shape): auto must pick bps
+    # and the per-plane estimate must beat interleaved bitpack
+    from tokcodec.codecs.intcodecs import _enc_bitpack
+
+    zipf = np.minimum(rng.zipf(1.3, 100000), 50256).astype(np.int64)
+    auto = encode_int_auto(zipf)
+    assert (decode_int(auto) == zipf).all()
+    if auto["c"] == "bps":  # selection is estimate-driven; roundtrip is the law
+        assert _est_z(auto) <= _est_z(_enc_bitpack(zipf))
+
+
 def test_float_bss_roundtrip_and_selection():
     # embedding-like data: random floats in a narrow range share exponent
     # bytes, so byte-stream split must win the auto-selection and shrink
