@@ -121,6 +121,39 @@ def test_int_byte_plane_split_roundtrip_and_selection():
         assert _est_z(auto) <= _est_z(_enc_bitpack(zipf))
 
 
+def test_int_vrank_roundtrip_and_selection():
+    from tokcodec.codecs.intcodecs import _dec_vrank, _enc_vrank, _est_z
+
+    rng = np.random.default_rng(29)
+    zipf = np.minimum(rng.zipf(1.3, 200000), 50256).astype(np.int64)
+    for a in (
+        zipf,                                                  # token shape
+        rng.integers(0, 300, 50000).astype(np.int64),          # small vocab
+        np.minimum(rng.zipf(1.1, 50000), (1 << 21) - 1).astype(np.int64),  # u4 ext
+        np.repeat(np.arange(300, dtype=np.int64), 5),          # every rank escapes
+    ):
+        e = _enc_vrank(a)
+        assert e is not None
+        d = _dec_vrank(e)
+        assert d.dtype == a.dtype and (d == a).all()
+    # guards: negative, tiny, constant, out-of-bound values
+    assert _enc_vrank(np.array([-1, 5] * 2000, dtype=np.int64)) is None
+    assert _enc_vrank(np.array([5, 7], dtype=np.int64)) is None
+    assert _enc_vrank(np.full(5000, 9, dtype=np.int64)) is None
+    assert _enc_vrank(np.array([0, 1 << 40] * 2000, dtype=np.int64)) is None
+    # zipf token ids: auto must pick vrank through the full-array trial
+    # (the sampled stage alone would reject it) and beat bps by >=5%
+    from tokcodec.codecs.intcodecs import _enc_bps
+
+    auto = encode_int_auto(zipf)
+    assert auto["c"] == "vrank"
+    assert (decode_int(auto) == zipf).all()
+    assert _est_z(auto) < 0.95 * _est_z(_enc_bps(zipf))
+    # deterministic across calls (byte-identical resume)
+    e1, e2 = encode_int_auto(zipf), encode_int_auto(zipf)
+    assert all((p1 == p2).all() for p1, p2 in zip(e1["p"], e2["p"]))
+
+
 def test_float_bss_roundtrip_and_selection():
     # embedding-like data: random floats in a narrow range share exponent
     # bytes, so byte-stream split must win the auto-selection and shrink
