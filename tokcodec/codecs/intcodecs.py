@@ -294,8 +294,10 @@ def _dec_vrank(enc: dict) -> np.ndarray:
             eb[:, i] = np.frombuffer(enc["p"][1 + i], dtype=np.uint8)[:ne]
         ext = eb.reshape(-1).view(np.dtype(f"<u{ew}"))[:ne].astype(np.int64)
         codes[b0 == _VRANK_ESC] = _VRANK_ESC + ext
-    values = decode_int(enc["k"]["values"])
-    return values[codes].astype(target, copy=False)
+    # narrow the SMALL rank table before the n-sized gather so the big
+    # pass reads/writes the target width, not int64
+    values = decode_int(enc["k"]["values"]).astype(target, copy=False)
+    return values[codes]
 
 
 # ---------------------------------------------------------- auto select ----

@@ -116,16 +116,34 @@ def _word_shingles(texts: list[str | None], k: int = 3):
     counts = np.bincount(doc_idx, minlength=n)
     short = np.flatnonzero(counts < k)
     if len(short):
+        # vectorized: gather each short doc's words into a list array,
+        # binary_join per doc, then append the "" padding (which joins
+        # to trailing spaces) from a k+1-entry pad table — no per-word
+        # Python even on pathological all-short batches
         starts = np.searchsorted(doc_idx, short, side="left")
         ends = np.searchsorted(doc_idx, short, side="right")
-        padded = []
-        for s0, e0 in zip(starts, ends):
-            ws = [words[j].as_py() for j in range(s0, e0)]
-            padded.append(" ".join(ws + [""] * (k - len(ws))))
-        sh_doc = np.concatenate([sh_doc, short.astype(np.int64)])
-        hashes = np.concatenate(
-            [hashes, fnv1a_batch(pa.array(padded, type=pa.string()))]
+        lens = ends - starts
+        total = int(lens.sum())
+        off = np.zeros(len(short) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        flat_idx = np.arange(total, dtype=np.int64) + np.repeat(
+            starts - off[:-1], lens
         )
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(off, type=pa.int64()),
+            words.take(pa.array(flat_idx)) if total else words.slice(0, 0),
+        )
+        joined = pc.binary_join(lst, pa.scalar(" ", type=words.type))
+        pad_table = pa.array([" " * j for j in range(k + 1)], type=words.type)
+        # c>0 words: " ".join adds one space per "" pad → k-c spaces;
+        # c==0: " ".join([""]*k) is k-1 separators, no word before them
+        n_pad = np.where(lens > 0, k - lens, k - 1).astype(np.int64)
+        pads = pad_table.take(pa.array(n_pad))
+        padded = pc.binary_join_element_wise(
+            joined, pads, pa.scalar("", type=words.type)
+        )
+        sh_doc = np.concatenate([sh_doc, short.astype(np.int64)])
+        hashes = np.concatenate([hashes, fnv1a_batch(padded)])
     return sh_doc, hashes
 
 
