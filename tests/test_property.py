@@ -35,6 +35,29 @@ def test_int_roundtrip_property(dt, data):
     assert (dec == arr).all()
 
 
+@settings(max_examples=12, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1024, 60000),
+    shape=st.sampled_from(["zipf", "uniform", "lowcard", "runs"]),
+)
+def test_int_roundtrip_large_sampled_path(seed, n, shape):
+    """Push the SAMPLED selection branch (n > 4*SAMPLE) and the
+    vrank/bps full-array trials: every distribution shape must
+    round-trip exactly whatever codec wins."""
+    rng = np.random.default_rng(seed)
+    if shape == "zipf":
+        arr = np.minimum(rng.zipf(1.2 + (seed % 10) / 10, n), 50256).astype(np.int64)
+    elif shape == "uniform":
+        arr = rng.integers(0, 1 << (4 + seed % 40), n).astype(np.int64)
+    elif shape == "lowcard":
+        arr = rng.integers(0, 2 + seed % 500, n).astype(np.int64)
+    else:
+        arr = np.repeat(rng.integers(0, 1000, max(1, n // 50)), 50)[:n].astype(np.int64)
+    dec = decode_int(encode_int_auto(arr))
+    assert dec.dtype == arr.dtype and (dec == arr).all()
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     vals=st.lists(st.binary(min_size=0, max_size=64), min_size=0, max_size=200)
