@@ -343,6 +343,101 @@ def wordcount_topk_documents(sf_dir: str):
     return agg.sort(["n", "word"], descending=[True, False]).limit(20)
 
 
+TFIDF_TERMS = ["data", "filter", "hash", "join", "vector"]
+TFIDF_K = 20
+
+
+def tfidf_topk_documents(sf_dir: str):
+    """Integer-exact TF-IDF retrieval (top-k docs for a fixed query):
+    two-wave plan like `group_quota` — wave 1 reduces the corpus to one
+    (N, df_j) summary row per batch and aggregates to O(terms) driver
+    state; wave 2 recomputes tf per doc with the tiny weight table in
+    the task closure, takes a per-batch partial top-k, and merges.
+    The score is pure integer arithmetic (tf_j x (N*1000 // df_j)) so
+    Ray and the SQL oracle agree bit-exactly — no float log in the
+    hash path.  Nothing materializes: two streaming text passes, O(k x
+    blocks) rows into the final merge."""
+    import numpy as np
+
+    from tokcodec.functions.text import split_words
+
+    terms = TFIDF_TERMS
+
+    def tf_matrix(batch: pa.Table):
+        words, doc_idx, n = split_words(batch.column("text"))
+        w = words.cast(pa.string())
+        tfs = []
+        for t in terms:
+            m = np.asarray(pc.equal(w, t).fill_null(False))
+            tfs.append(np.bincount(doc_idx[m], minlength=n).astype(np.int64))
+        return tfs, n
+
+    # wave 1: (N, df_j) — one tiny row per batch, summed on the driver
+    def df_partial(batch: pa.Table) -> pa.Table:
+        tfs, n = tf_matrix(batch)
+        cols = {"n_docs": pa.array([n], type=pa.int64())}
+        for t, tf in zip(terms, tfs):
+            cols[f"df_{t}"] = pa.array([int((tf > 0).sum())], type=pa.int64())
+        return pa.table(cols)
+
+    parts = (
+        _rp(sf_dir, "documents", columns=["text"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .take_all()
+    )  # O(blocks) rows of O(terms) ints
+    n_total = sum(r["n_docs"] for r in parts)
+    weights = []
+    for t in terms:
+        df = sum(r[f"df_{t}"] for r in parts)
+        weights.append((n_total * 1000) // df if df else 0)
+
+    # wave 2: per-doc integer score, per-batch partial top-k, merge
+    def score_topk(batch: pa.Table) -> pa.Table:
+        tfs, n = tf_matrix(batch)
+        score = np.zeros(n, dtype=np.int64)
+        for wgt, tf in zip(weights, tfs):
+            score += wgt * tf
+        t = pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "score": pa.array(score, type=pa.int64()),
+            }
+        )
+        idx = pc.sort_indices(
+            t, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+        return t.take(idx.slice(0, TFIDF_K))
+
+    partials = _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score_topk, batch_format="pyarrow"
+    )
+    return partials.sort(["score", "doc_id"], descending=[True, False]).limit(TFIDF_K)
+
+
+def _tfidf_oracle_sql() -> str:
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in TFIDF_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in TFIDF_TERMS
+    )
+    score = " + ".join(
+        f"tf_{t} * (CASE WHEN st.df_{t} = 0 THEN 0 "
+        f"ELSE (st.n_total * 1000) // st.df_{t} END)"
+        for t in TFIDF_TERMS
+    )
+    return (
+        "WITH ws AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS w "
+        "FROM documents), "
+        f"tf AS (SELECT doc_id, {tf_cols} FROM ws), "
+        f"st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total, {df_cols} FROM tf) "
+        f"SELECT doc_id, CAST({score} AS BIGINT) AS score FROM tf, st "
+        f"ORDER BY score DESC, doc_id LIMIT {TFIDF_K}"
+    )
+
+
 def docs_stats_by_lang(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -1183,6 +1278,7 @@ def build_queries() -> dict:
         "dedup_simhash_recall": dedup_simhash_recall,
         "ngram_profile_documents": ngram_profile_documents,
         "wordcount_topk_documents": wordcount_topk_documents,
+        "tfidf_topk_documents": tfidf_topk_documents,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1285,6 +1381,7 @@ def build_oracle_sql() -> dict:
             "unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w "
             "FROM documents) GROUP BY w ORDER BY n DESC, word LIMIT 20"
         ),
+        "tfidf_topk_documents": _tfidf_oracle_sql(),
         "window_events": (
             "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win, "
             "COUNT(*) AS n FROM events GROUP BY event_type, win"
