@@ -824,3 +824,51 @@ def test_quantile_disc_nan_excluded(ray_session):
     ds = ray.data.from_arrow(t)
     assert quantile_disc(ds, "x", 0.5) == 2.0  # DuckDB excludes NaN
     assert quantile_disc(ds, "x", 1.0) == 3.0
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+    import ray.data
+
+    from tokcodec.functions.quantile import grouped_quantiles_disc
+
+    rng = np.random.default_rng(17)
+    n = 20000
+    t = pa.table(
+        {
+            "g": pa.array([f"g{i % 7}" for i in rng.integers(0, 7, n)]),
+            "x": pa.array(rng.integers(-1000, 10**6, n).astype(np.float64)),
+        }
+    )
+    got = grouped_quantiles_disc(
+        ray.data.from_arrow(t).repartition(9), "g", "x", [0.25, 0.5, 0.99]
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ref = con.execute(
+        "SELECT * FROM ("
+        + " UNION ALL ".join(
+            f"SELECT g, {q} AS q, quantile_disc(x, {q}) AS v FROM t GROUP BY g"
+            for q in (0.25, 0.5, 0.99)
+        )
+        + ") ORDER BY g, q"
+    ).df()
+    assert len(got) == len(ref) == 21
+    assert (got["g"].values == ref["g"].values).all()
+    assert np.array_equal(got["v"].values, ref["v"].values)
+
+
+def test_grouped_quantiles_single_value_group(ray_session):
+    import ray.data
+
+    from tokcodec.functions.quantile import grouped_quantiles_disc
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 100 + ["b"]),
+            "x": pa.array([float(i) for i in range(100)] + [42.0]),
+        }
+    )
+    out = grouped_quantiles_disc(ray.data.from_arrow(t), "g", "x", [0.5]).to_pandas()
+    assert out[out["g"] == "b"]["v"].iloc[0] == 42.0
+    assert out[out["g"] == "a"]["v"].iloc[0] == 49.0

@@ -129,3 +129,146 @@ def quantiles_disc(ds, column: str, qs: list[float]) -> list[float]:
 def quantile_disc(ds, column: str, q: float) -> float:
     """Single-quantile convenience wrapper over quantiles_disc."""
     return quantiles_disc(ds, column, [q])[0]
+
+
+# ------------------------------------------------------------- grouped ----
+
+
+def grouped_quantiles_disc(ds, group_col: str, column: str, qs: list[float]) -> pa.Table:
+    """Exact per-group discrete quantiles WITHOUT a sort: the grouped
+    generalization of :func:`quantiles_disc`.  Every (group, q)
+    selection advances in the SAME streaming scan per refinement pass —
+    one base pass for per-group (n, lo, hi), then per pass one
+    histogram scan serving every still-active selection, then one
+    shared gather pass for the finished windows.  Driver state is
+    O(groups x qs x bins); scans are O(passes), independent of group
+    count.  Returns an Arrow table (group, q, v) sorted by (group, q).
+    Rank semantics match DuckDB ``quantile_disc`` per group."""
+    import pyarrow.compute as pc
+
+    def _group_values(batch: pa.Table):
+        g = batch.column(group_col)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        col = batch.column(column)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        return g, v
+
+    # base pass: per-group n / lo / hi
+    def base_partial(batch: pa.Table) -> pa.Table:
+        g, v = _group_values(batch)
+        t = pa.table({"g": g, "v": pa.array(v, pa.float64())})
+        agg = t.group_by("g").aggregate(
+            [("v", "count"), ("v", "min"), ("v", "max")]
+        )
+        return pa.table(
+            {
+                "g": agg.column("g"),
+                "n": agg.column("v_count").cast(pa.int64()),
+                "lo": agg.column("v_min"),
+                "hi": agg.column("v_max"),
+            }
+        )
+
+    stats: dict = {}
+    for r in ds.map_batches(base_partial, batch_format="pyarrow").take_all():
+        n0, l0, h0 = stats.get(r["g"], (0, np.inf, -np.inf))
+        stats[r["g"]] = (n0 + r["n"], min(l0, r["lo"]), max(h0, r["hi"]))
+
+    # active selection state: (group, q) -> [rank, lo, hi]
+    active: dict = {}
+    results: dict = {}
+    for g, (n, lo, hi) in stats.items():
+        for q in qs:
+            fq = Fraction(str(q))
+            rank = max(0, -((-fq.numerator * n) // fq.denominator) - 1)
+            if lo == hi:
+                results[(g, q)] = lo
+            else:
+                active[(g, q)] = [rank, lo, hi]
+
+    def _hist_scan(windows: dict) -> dict:
+        """One shared scan: counts for every (group, q) window."""
+        keys = sorted(windows)  # deterministic order
+        edges_of = {k: np.linspace(windows[k][1], windows[k][2], _BINS + 1) for k in keys}
+
+        def hist_partial(batch: pa.Table) -> pa.Table:
+            g, v = _group_values(batch)
+            garr = np.asarray(g.cast(pa.string()))
+            out_k, out_c = [], []
+            for ki, k in enumerate(keys):
+                e = edges_of[k]
+                m = garr == k[0]
+                vals = v[m]
+                vals = vals[(vals >= e[0]) & (vals <= e[-1])]
+                counts, _ = np.histogram(vals, bins=e)
+                out_k.append(ki)
+                out_c.append(counts.tobytes())
+            return pa.table(
+                {"k": pa.array(out_k, pa.int64()), "c": pa.array(out_c, pa.binary())}
+            )
+
+        totals = {k: np.zeros(_BINS, dtype=np.int64) for k in keys}
+        for r in ds.map_batches(hist_partial, batch_format="pyarrow").take_all():
+            totals[keys[r["k"]]] += np.frombuffer(r["c"], dtype=np.int64)
+        return {k: (totals[k], edges_of[k]) for k in keys}
+
+    def _gather_scan(windows: dict) -> dict:
+        """One shared scan gathering every finished window's candidates."""
+        keys = sorted(windows)
+
+        def gather(batch: pa.Table) -> pa.Table:
+            g, v = _group_values(batch)
+            garr = np.asarray(g.cast(pa.string()))
+            ks, vs = [], []
+            for ki, k in enumerate(keys):
+                _rank, lo, hi, last = windows[k]
+                m = garr == k[0]
+                vals = v[m]
+                vals = vals[(vals >= lo) & ((vals <= hi) if last else (vals < hi))]
+                ks.extend([ki] * len(vals))
+                vs.extend(vals.tolist())
+            return pa.table(
+                {"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.float64())}
+            )
+
+        pools: dict = {k: [] for k in keys}
+        for r in ds.map_batches(gather, batch_format="pyarrow").take_all():
+            pools[keys[r["k"]]].append(r["v"])
+        out = {}
+        for k in keys:
+            vals = np.sort(np.array(pools[k], dtype=np.float64))
+            out[k] = float(vals[windows[k][0]])
+        return out
+
+    for _ in range(_MAX_PASSES):
+        if not active:
+            break
+        hists = _hist_scan(active)
+        to_gather: dict = {}
+        for k in list(active):
+            rank, lo, hi = active[k]
+            counts, edges = hists[k]
+            nrank, nlo, nhi, in_bin, last = _step(counts, edges, rank)
+            if nlo == nhi:
+                # degenerate float window: every candidate equals nlo
+                results[k] = nlo
+                del active[k]
+            elif in_bin <= _MAX_GATHER or (nlo, nhi) == (lo, hi):
+                to_gather[k] = (nrank, nlo, nhi, last)
+                del active[k]
+            else:
+                active[k] = [nrank, nlo, nhi]
+        if to_gather:
+            results.update(_gather_scan(to_gather))
+    if active:
+        raise RuntimeError("grouped quantile selection did not converge")
+
+    rows = sorted(results)
+    return pa.table(
+        {
+            group_col: pa.array([g for g, _q in rows], pa.string()),
+            "q": pa.array([q for _g, q in rows], pa.float64()),
+            "v": pa.array([results[k] for k in rows], pa.float64()),
+        }
+    )

@@ -491,6 +491,26 @@ def quantiles_lineitem_price(sf_dir: str):
     )
 
 
+def quantiles_by_lang(sf_dir: str):
+    """Exact PER-GROUP quantiles without a sort: every (group, q)
+    selection advances in the same streaming histogram scan per pass
+    (`quantile.grouped_quantiles_disc`) — O(groups x qs x bins) driver
+    state, scan count independent of group count."""
+    from tokcodec.functions.quantile import grouped_quantiles_disc
+
+    ds = _rp(sf_dir, "documents", columns=["lang", "n_chars"])
+    return grouped_quantiles_disc(ds, "lang", "n_chars", [0.5, 0.9, 0.99])
+
+
+def _quantiles_by_lang_oracle_sql() -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT lang, {q} AS q, CAST(quantile_disc(n_chars, {q}) AS DOUBLE) AS v "
+        "FROM documents GROUP BY lang"
+        for q in (0.5, 0.9, 0.99)
+    )
+    return f"SELECT * FROM ({parts}) ORDER BY lang, q"
+
+
 def topk_documents(sf_dir: str):
     """sort + limit (top-k): deterministic tie-break on doc_id."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
@@ -1260,6 +1280,7 @@ def build_queries() -> dict:
         "agg_events_by_type": agg_events_by_type,
         "topk_documents": topk_documents,
         "quantiles_lineitem_price": quantiles_lineitem_price,
+        "quantiles_by_lang": quantiles_by_lang,
         "distinct_langs": distinct_langs,
         "window_events": window_events,
         "sessionize_events": sessionize_events,
@@ -1375,6 +1396,7 @@ def build_oracle_sql() -> dict:
             "UNION ALL SELECT 0.9, quantile_disc(l_extendedprice, 0.9) FROM lineitem "
             "UNION ALL SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem"
         ),
+        "quantiles_by_lang": _quantiles_by_lang_oracle_sql(),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "wordcount_topk_documents": (
             "SELECT w AS word, COUNT(*) AS n FROM (SELECT "
