@@ -246,3 +246,22 @@ def test_manifest_records_codec_choices(encoded):
     assert c0["tokens"].startswith("list(")
     known = {"plain", "bp", "for", "delta", "rle", "dict", "fsst", "pbytes", "dbytes", "fdict", "fplain", "fbss", "bps", "vrank"}
     assert c0["source"] in known and c0["n_tok"] in known
+
+
+def test_encode_actor_pool_byte_identical(ray_session, fixture_parquet, tmp_path):
+    """compute="actors" (stateful actor-pool stage) must produce blocks
+    byte-identical to the default task-pool path — same plan, same
+    deterministic codecs, different execution strategy."""
+    import tokcodec.manifest as mf
+
+    out_t = str(tmp_path / "enc_tasks")
+    out_a = str(tmp_path / "enc_actors")
+    encode_dataset(fixture_parquet, out_t, target_tokens=TARGET)
+    encode_dataset(fixture_parquet, out_a, target_tokens=TARGET, compute="actors")
+    names = sorted(n for n in os.listdir(out_t) if n.endswith(".tokb"))
+    assert names == sorted(n for n in os.listdir(out_a) if n.endswith(".tokb"))
+    for n in names:
+        with open(os.path.join(out_t, n), "rb") as f1, open(
+            os.path.join(out_a, n), "rb"
+        ) as f2:
+            assert f1.read() == f2.read(), n

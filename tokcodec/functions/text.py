@@ -289,3 +289,27 @@ def rolling_hash(batch: pa.Table, text_col: str = "text", out: str = "rh") -> pa
     data, off, _ = flat_utf8(batch.column(text_col))
     out_h = poly_spans(data, off[:-1], np.diff(off))
     return batch.append_column(out, pa.array(out_h.view(np.int64), type=pa.int64()))
+
+
+REDACT_RULES = [
+    (r"\b[a-z]+[0-9]+[a-z0-9]*\b", "<ID>"),  # alnum identifiers first —
+    (r"[0-9]+", "<NUM>"),                    # — then bare digit runs
+]
+
+
+def redact(
+    batch: pa.Table,
+    text_col: str = "text",
+    out: str = "redacted",
+    rules: list[tuple[str, str]] | None = None,
+) -> pa.Table:
+    """Rule-based text redaction (the transformation counterpart to the
+    analysis ops): RE2 global substitutions applied IN ORDER via
+    ``pc.replace_substring_regex`` — one vectorized Arrow kernel pass
+    per rule, no Python per row.  Both Arrow and DuckDB run RE2, so
+    ``regexp_replace(..., 'g')`` chains are an exact oracle."""
+    col = batch.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    for pat, rep in rules if rules is not None else REDACT_RULES:
+        col = pc.replace_substring_regex(col, pattern=pat, replacement=rep)
+    return batch.append_column(out, col)

@@ -343,6 +343,23 @@ def wordcount_topk_documents(sf_dir: str):
     return agg.sort(["n", "word"], descending=[True, False]).limit(20)
 
 
+def redact_documents(sf_dir: str):
+    """Rule-based redaction (text TRANSFORMATION, not analysis):
+    ordered RE2 global substitutions, one vectorized Arrow kernel pass
+    per rule — embarrassingly parallel, no shuffle, no Python per row."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text.redact, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "redacted"]), batch_format="pyarrow"
+    )
+
+
+def _redact_oracle_sql() -> str:
+    expr = "text"
+    for pat, rep in text.REDACT_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"SELECT doc_id, {expr} AS redacted FROM documents"
+
+
 TFIDF_TERMS = ["data", "filter", "hash", "join", "vector"]
 TFIDF_K = 20
 
@@ -1300,6 +1317,7 @@ def build_queries() -> dict:
         "ngram_profile_documents": ngram_profile_documents,
         "wordcount_topk_documents": wordcount_topk_documents,
         "tfidf_topk_documents": tfidf_topk_documents,
+        "redact_documents": redact_documents,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1404,6 +1422,7 @@ def build_oracle_sql() -> dict:
             "FROM documents) GROUP BY w ORDER BY n DESC, word LIMIT 20"
         ),
         "tfidf_topk_documents": _tfidf_oracle_sql(),
+        "redact_documents": _redact_oracle_sql(),
         "window_events": (
             "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win, "
             "COUNT(*) AS n FROM events GROUP BY event_type, win"
