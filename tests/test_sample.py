@@ -242,3 +242,45 @@ def test_grouped_topk_ascending(ray_session):
         zip(*(df[df["rank"] < 4][c] for c in ("doc_id", "source", "mass")))
     )
     assert sorted((r["doc_id"], r["source"], r["mass"]) for r in out) == ref
+
+
+# ------------------------------ source mixing ------------------------------
+
+
+def test_mix_sources_nested_and_exact(ray_session):
+    t = _docs_table(n=2000, n_groups=5)  # sources g0..g4
+    rates1 = {"g0": 1.0, "g1": 0.3, "g2": 0.1}          # g3/g4 drop
+    rates2 = {"g0": 1.0, "g1": 0.6, "g2": 0.1}          # g1 raised
+    kept1 = {
+        r["doc_id"]
+        for r in sample.mix_sources(_ds(t), rates1, key_col="doc_id").take_all()
+    }
+    kept2 = {
+        r["doc_id"]
+        for r in sample.mix_sources(_ds(t), rates2, key_col="doc_id").take_all()
+    }
+    assert kept1 <= kept2  # nested: raising one rate only ADDS rows
+    # exact per-row semantics vs scalar reference
+    ids = t.column("doc_id").to_pylist()
+    srcs = t.column("source").to_pylist()
+    hashes = sample.key_hash_u64(t.column("doc_id"), "fnv")
+    ref = {
+        i
+        for i, s, h in zip(ids, srcs, hashes)
+        if h < sample.rate_threshold(rates1.get(s, 0.0))
+    }
+    assert kept1 == ref
+    assert not any(s in ("g3", "g4") for i, s in zip(ids, srcs) if i in kept1)
+
+
+def test_mix_sources_partition_independent(ray_session):
+    t = _docs_table(n=1500, n_groups=4)
+    rates = {"g0": 0.5, "g1": 0.2, "g2": 0.9, "g3": 0.05}
+    a = {r["doc_id"] for r in sample.mix_sources(_ds(t), rates).take_all()}
+    import ray.data
+
+    b = {
+        r["doc_id"]
+        for r in sample.mix_sources(ray.data.from_arrow(t).repartition(2), rates).take_all()
+    }
+    assert a == b

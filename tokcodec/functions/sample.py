@@ -310,3 +310,29 @@ def grouped_topk(
         .groupby(group_col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def mix_sources(
+    ds,
+    rates: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    method: str = "fnv",
+    default_rate: float = 0.0,
+):
+    """Deterministic corpus mixing: per-group Bernoulli rates in ONE
+    shuffle-free pass — ``keep iff hash(key) < threshold(rates[group])``
+    with the threshold gathered through a vectorized group LUT.  The
+    properties that matter for retuning a 100 TB mixture hold per
+    group: nested across rates (raising web 0.1 → 0.2 only ADDS rows,
+    never reshuffles the kept set) and partition-independent.  Groups
+    absent from `rates` fall to `default_rate` (0 = drop)."""
+    thr = {g: np.uint64(rate_threshold(r)) for g, r in rates.items()}
+    thr_default = np.uint64(rate_threshold(default_rate))
+
+    def keep(t: pa.Table) -> pa.Table:
+        u = key_hash_u64(t.column(key_col), method)
+        bound = _group_lut(t.column(group_col), thr, thr_default).astype(np.uint64)
+        return t.filter(pa.array(u < bound))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

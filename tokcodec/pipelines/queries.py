@@ -1080,6 +1080,28 @@ def multimodal_features(sf_dir: str):
 
 SAMPLE_RATE = 0.4
 SPLIT_FRACTIONS = {"train": 0.6, "val": 0.2, "test": 0.2}
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}  # rest drop
+
+
+def mix_documents(sf_dir: str):
+    """Deterministic per-source corpus mixing in one shuffle-free pass
+    (md5 oracle-parity mode): keep iff hash(doc_id) < threshold(rate of
+    the row's source); nested across rates so mixture retuning only
+    adds/removes the marginal rows."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    return sample.mix_sources(ds, MIX_RATES, method="md5")
+
+
+def _mix_oracle_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{g}' THEN {sample.rate_threshold(r)}::UBIGINT"
+        for g, r in MIX_RATES.items()
+    )
+    return (
+        "SELECT doc_id, source FROM documents "
+        f"WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) < "
+        f"(CASE {whens} ELSE 0::UBIGINT END)"
+    )
 QUOTA_BUDGET = 4000  # bytes of text per source group
 
 
@@ -1329,6 +1351,7 @@ def build_queries() -> dict:
         "multimodal_features": multimodal_features,
         "encode_stats_documents": encode_stats("documents"),
         "sample_documents": sample_documents,
+        "mix_documents": mix_documents,
         "split_documents": split_documents,
         "quota_documents": quota_documents,
         "topk_per_source": topk_per_source,
@@ -1526,6 +1549,7 @@ def build_oracle_sql() -> dict:
             "SELECT vec_id AS query FROM embeddings WHERE vec_id IN (0, 1, 2)"
         ),
         "sample_documents": _sample_oracle_sql(),
+        "mix_documents": _mix_oracle_sql(),
         "split_documents": _split_oracle_sql(),
         "quota_documents": _quota_oracle_sql(),
         "topk_per_source": _topk_per_source_oracle_sql(),
