@@ -872,3 +872,28 @@ def test_grouped_quantiles_single_value_group(ray_session):
     out = grouped_quantiles_disc(ray.data.from_arrow(t), "g", "x", [0.5]).to_pandas()
     assert out[out["g"] == "b"]["v"].iloc[0] == 42.0
     assert out[out["g"] == "a"]["v"].iloc[0] == 49.0
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    import ray.data
+
+    from tokcodec.functions.quantile import approx_quantiles_disc, quantiles_disc
+
+    rng = np.random.default_rng(23)
+    n = 50000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "x": pa.array(rng.lognormal(3, 1.5, n)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    approx = approx_quantiles_disc(ds, "x", [0.5, 0.99], rate=0.1, key_col="k")
+    lo_hi = quantiles_disc(ds, "x", [0.47, 0.53, 0.985, 0.995])
+    assert lo_hi[0] <= approx[0] <= lo_hi[1]
+    assert lo_hi[2] <= approx[1] <= lo_hi[3]
+    # partition-independent (deterministic hash sample)
+    approx2 = approx_quantiles_disc(
+        ray.data.from_arrow(t).repartition(2), "x", [0.5, 0.99], rate=0.1, key_col="k"
+    )
+    assert approx == approx2

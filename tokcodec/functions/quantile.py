@@ -272,3 +272,43 @@ def grouped_quantiles_disc(ds, group_col: str, column: str, qs: list[float]) -> 
             "v": pa.array([results[k] for k in rows], pa.float64()),
         }
     )
+
+
+# --------------------------------------------------------- approximate ----
+
+
+def approx_quantiles_disc(
+    ds,
+    column: str,
+    qs: list[float],
+    rate: float = 0.05,
+    key_col: str = "doc_id",
+    method: str = "fnv",
+) -> list[float]:
+    """ONE-PASS approximate quantiles: exact selection over a
+    deterministic hash-threshold row sample (`sample.sample_dataset`
+    semantics — partition-independent and nested across rates, so two
+    runs at any partitioning agree exactly).  Driver memory is
+    O(n x rate) values; rank error is O(1/sqrt(n x rate)) w.h.p. —
+    pick `rate` so the sample is ~10M values at any corpus size.  The
+    exact multi-pass `quantiles_disc` is the 0-error alternative; this
+    is the single-scan variant for interactive profiling at 100 TB."""
+    from tokcodec.functions.sample import key_hash_u64, rate_threshold
+
+    thr = np.uint64(rate_threshold(rate))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        u = key_hash_u64(batch.column(key_col), method)
+        sub = batch.filter(pa.array(u < thr))
+        return pa.table({"v": pa.array(_col_values(sub, column), pa.float64())})
+
+    rows = ds.map_batches(keep, batch_format="pyarrow").take_all()
+    vals = np.sort(np.array([r["v"] for r in rows], dtype=np.float64))
+    if len(vals) == 0:
+        raise ValueError("empty sample; raise rate")
+    out = []
+    for q in qs:
+        fq = Fraction(str(q))
+        rank = max(0, -((-fq.numerator * len(vals)) // fq.denominator) - 1)
+        out.append(float(vals[rank]))
+    return out

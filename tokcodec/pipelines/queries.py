@@ -528,6 +528,39 @@ def _quantiles_by_lang_oracle_sql() -> str:
     return f"SELECT * FROM ({parts}) ORDER BY lang, q"
 
 
+def approx_quantiles_check(sf_dir: str):
+    """ONE-PASS approximate quantiles (deterministic hash-threshold row
+    sample, exact selection on the sample) verified against exact rank
+    windows, in the recall-oracle style: the Ray side computes approx
+    p50/p90 AND the exact values at q±0.05 (via the already-oracled
+    `quantiles_disc`) and returns the verdicts; the SQL oracle pins the
+    expected all-true table."""
+    from tokcodec.functions.quantile import approx_quantiles_disc, quantiles_disc
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    qs = [0.5, 0.9]
+    approx = approx_quantiles_disc(
+        ds, "l_extendedprice", qs, rate=0.2, key_col="l_orderkey"
+    )
+    bounds = quantiles_disc(
+        ds, "l_extendedprice", [0.45, 0.55, 0.85, 0.95]
+    )
+    ok = [
+        bounds[0] <= approx[0] <= bounds[1],
+        bounds[2] <= approx[1] <= bounds[3],
+    ]
+    return pa.table(
+        {"q": pa.array(qs, pa.float64()), "within_bounds": pa.array(ok, pa.bool_())}
+    )
+
+
+def _approx_quantiles_oracle_sql() -> str:
+    return (
+        "SELECT 0.5 AS q, true AS within_bounds "
+        "UNION ALL SELECT 0.9, true ORDER BY q"
+    )
+
+
 def topk_documents(sf_dir: str):
     """sort + limit (top-k): deterministic tie-break on doc_id."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
@@ -1320,6 +1353,7 @@ def build_queries() -> dict:
         "topk_documents": topk_documents,
         "quantiles_lineitem_price": quantiles_lineitem_price,
         "quantiles_by_lang": quantiles_by_lang,
+        "approx_quantiles_check": approx_quantiles_check,
         "distinct_langs": distinct_langs,
         "window_events": window_events,
         "sessionize_events": sessionize_events,
@@ -1438,6 +1472,7 @@ def build_oracle_sql() -> dict:
             "UNION ALL SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem"
         ),
         "quantiles_by_lang": _quantiles_by_lang_oracle_sql(),
+        "approx_quantiles_check": _approx_quantiles_oracle_sql(),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "wordcount_topk_documents": (
             "SELECT w AS word, COUNT(*) AS n FROM (SELECT "
