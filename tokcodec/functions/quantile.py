@@ -18,6 +18,8 @@ from fractions import Fraction
 import numpy as np
 import pyarrow as pa
 
+from tokcodec.functions.sample import key_hash_u64, rate_threshold
+
 _BINS = 4096
 _MAX_GATHER = 65536
 _MAX_PASSES = 64
@@ -293,8 +295,6 @@ def approx_quantiles_disc(
     pick `rate` so the sample is ~10M values at any corpus size.  The
     exact multi-pass `quantiles_disc` is the 0-error alternative; this
     is the single-scan variant for interactive profiling at 100 TB."""
-    from tokcodec.functions.sample import key_hash_u64, rate_threshold
-
     thr = np.uint64(rate_threshold(rate))
 
     def keep(batch: pa.Table) -> pa.Table:
