@@ -86,6 +86,12 @@ def _chunk_table(
 def _list_slice(flat: np.ndarray, bounds: np.ndarray) -> pa.ListArray:
     """list<int32> array whose row i is flat[bounds[i]:bounds[i+1]] —
     built from ONE values buffer, no per-row splitting."""
+    span = int(bounds[-1] - bounds[0])
+    if span >= 2**31:  # list<int32> offsets are int32 — wrap = corruption
+        raise ValueError(
+            f"partition holds {span} tokens, over the 2^31 int32-offset "
+            "limit; lower target_tokens"
+        )
     vals = flat[bounds[0] : bounds[-1]]
     offs = (bounds - bounds[0]).astype(np.int32)
     return pa.ListArray.from_arrays(pa.array(offs), pa.array(vals, type=pa.int32()))
@@ -126,6 +132,20 @@ def _pack_partition(
     flat = np.asarray(tok_col.values, dtype=np.int32)
     lens = np.diff(np.asarray(tok_col.offsets, dtype=np.int64))
     mass = int(lens.sum())
+    if mass != int(spec["n_tok"]):
+        # the plan's per-partition mass (summed from the token-count
+        # column) sets every later partition's global base offset — a
+        # stale n_tok column would silently shift chunk boundaries
+        raise ValueError(
+            f"partition {pid}: token-count column says {spec['n_tok']} "
+            f"tokens but the tokens lists hold {mass}; the n_tok column "
+            "is stale relative to tokens — regenerate it before packing"
+        )
+    if mass >= 2**31:
+        raise ValueError(
+            f"partition {pid} holds {mass} tokens, over the 2^31 "
+            "int32-offset limit; lower target_tokens"
+        )
     ends_local = np.cumsum(lens, dtype=np.int64)
     nz = lens > 0
     doc_starts = (ends_local - lens)[nz] + base
@@ -278,6 +298,22 @@ def pack_dataset(
         # still parallelize tiny inputs
         target_tokens = max(seq_len * 64, 4_000_000)
     os.makedirs(out_dir, exist_ok=True)
+    # fail fast on a missing token-count column: plan_partitions would
+    # silently fall back to row-count mass, desyncing every partition's
+    # global base offset from the real token layout
+    first = input_paths if isinstance(input_paths, str) else input_paths[0]
+    if os.path.isdir(first):
+        cands = [n for n in sorted(os.listdir(first)) if n.endswith(".parquet")]
+        if not cands:
+            raise ValueError(f"no parquet files under {first!r}")
+        first = os.path.join(first, cands[0])
+    schema_names = set(pq.ParquetFile(first).schema_arrow.names)
+    for col in (token_col, key_col, tokens_col):
+        if col not in schema_names:
+            raise ValueError(
+                f"pack_dataset requires column {col!r} in the input "
+                f"schema; found {sorted(schema_names)}"
+            )
     plan = plan_partitions(input_paths, target_tokens, token_col)
     fp = f'{plan["fingerprint"]}:L={seq_len}'
     mf.atomic_write_json(os.path.join(out_dir, "plan.json"), {**plan, "seq_len": seq_len})

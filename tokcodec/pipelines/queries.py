@@ -1199,11 +1199,15 @@ def pack_chunks_documents(sf_dir: str):
     tokenized documents table, surfaced as chunk metadata so DuckDB can
     verify the packing layout exactly: per chunk, its token count, the
     number of documents overlapping it, and the first/last doc id.
-    Tokenize runs distributed; the tokenized table (oracle-scale small)
-    is sorted and staged to one parquet file so the pack plan's global
-    order is doc_id order — matching the oracle's ORDER BY; the pack
-    itself is the distributed planned pipeline under test."""
+    Tokenize runs distributed; the tokenized table is sorted and staged
+    to partitioned parquet entirely inside Ray (write_parquet with
+    preserve_order, so lexicographic file order == sorted block order ==
+    the pack plan's global scan order) — the driver never holds the
+    corpus; the pack itself is the distributed planned pipeline under
+    test."""
     import tempfile
+
+    import ray.data
 
     from tokcodec.pipelines import pack as packmod
 
@@ -1222,15 +1226,18 @@ def pack_chunks_documents(sf_dir: str):
         )
         .sort("doc_id")
     )
-    staged = pa.concat_tables(
-        [pa.table(b) for b in tok.iter_batches(batch_format="pyarrow")]
-    ).select(["doc_id", "tokens", "n_tok"])
     tmp = tempfile.mkdtemp(prefix="tokcodec_pack_")
-    import pyarrow.parquet as pq_
-
-    pq_.write_table(staged, f"{tmp}/tokens.parquet", row_group_size=64)
+    ctx = ray.data.DataContext.get_current()
+    prev_order = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        tok.select_columns(["doc_id", "tokens", "n_tok"]).write_parquet(
+            f"{tmp}/staged", row_group_size=64
+        )
+    finally:
+        ctx.execution_options.preserve_order = prev_order
     res = packmod.pack_dataset(
-        f"{tmp}/tokens.parquet",
+        f"{tmp}/staged",
         f"{tmp}/out",
         seq_len=PACK_SEQ_LEN,
         target_tokens=4096,  # force many partitions -> stitching on the oracle path
