@@ -294,10 +294,10 @@ def embedding_near_dups(ds, tau: float = 0.95, n_planes: int = 10, seed: int = 5
                         id_col: str = "vec_id", vec_col: str = "embedding"):
     """Cosine-near-duplicate pairs: bucket by hyperplane signature
     (groupby — the one shuffle), exact cosine within buckets (bounded by
-    MAX_SIG_BUCKET per chunk)."""
+    MAX_SIG_BUCKET per chunk).  Bucket frames stay Arrow end to end:
+    the embedding matrix is a zero-copy reshape of the list values
+    buffer (_batch_matrix), never an object-dtype np.stack."""
     import logging
-
-    import pandas as pd
 
     planes_holder = {}
 
@@ -309,36 +309,45 @@ def embedding_near_dups(ds, tau: float = 0.95, n_planes: int = 10, seed: int = 5
         sigs = _signatures(m, planes_holder["p"]).view(np.int64)
         return batch.append_column("sig", pa.array(sigs))
 
-    def chunk_dups(m: np.ndarray, ids: np.ndarray) -> pd.DataFrame:
+    def chunk_dups(m: np.ndarray, ids: np.ndarray):
         sims = m @ m.T
         ii, jj = np.triu_indices(len(ids), k=1)
         keep = sims[ii, jj] >= tau
-        return pd.DataFrame(
-            {
-                "a": np.minimum(ids[ii[keep]], ids[jj[keep]]),
-                "b": np.maximum(ids[ii[keep]], ids[jj[keep]]),
-                "sim": np.round(sims[ii, jj][keep], 4),
-            }
+        return (
+            np.minimum(ids[ii[keep]], ids[jj[keep]]),
+            np.maximum(ids[ii[keep]], ids[jj[keep]]),
+            np.round(sims[ii, jj][keep], 4),
         )
 
-    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "sim": []})
-        order = np.argsort(g[id_col].to_numpy(), kind="stable")
-        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))[order]
-        ids = g[id_col].to_numpy()[order]
-        if len(ids) <= MAX_SIG_BUCKET:
-            return chunk_dups(m, ids)
+    def bucket_dups(g: pa.Table) -> pa.Table:
+        id_arr = g.column(id_col)
+        id_arr = id_arr.combine_chunks() if isinstance(id_arr, pa.ChunkedArray) else id_arr
+        if g.num_rows < 2:
+            return pa.table(
+                {"a": pa.array([], id_arr.type), "b": pa.array([], id_arr.type),
+                 "sim": pa.array([], pa.float64())}
+            )
+        ids = id_arr.to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        m = _normalize(_batch_matrix(g, vec_col))[order]
+        ids = ids[order]
         n = len(ids)
-        logging.getLogger(__name__).warning(
-            "signature bucket of %d vectors split into %d-vector chunks: "
-            "cross-chunk pairs dropped", n, MAX_SIG_BUCKET,
-        )
-        frames = [
+        if n > MAX_SIG_BUCKET:
+            logging.getLogger(__name__).warning(
+                "signature bucket of %d vectors split into %d-vector chunks: "
+                "cross-chunk pairs dropped", n, MAX_SIG_BUCKET,
+            )
+        parts = [
             chunk_dups(m[i : i + MAX_SIG_BUCKET], ids[i : i + MAX_SIG_BUCKET])
             for i in range(0, n, MAX_SIG_BUCKET)
         ]
-        return pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([p[0] for p in parts]), id_arr.type),
+                "b": pa.array(np.concatenate([p[1] for p in parts]), id_arr.type),
+                "sim": pa.array(np.concatenate([p[2] for p in parts]), pa.float64()),
+            }
+        )
 
     sig_ds = ds.map_batches(add_sig, batch_format="pyarrow")
-    return sig_ds.groupby("sig").map_groups(bucket_dups, batch_format="pandas")
+    return sig_ds.groupby("sig").map_groups(bucket_dups, batch_format="pyarrow")

@@ -230,15 +230,19 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id", **kw
     and the distinct step is an AGGREGATE (`groupby(a,b).aggregate(Count)`
     → native hash aggregation), not a per-pair Python `map_groups` — at
     a dup-heavy 100 TB corpus the distinct would otherwise invoke a
-    Python lambda on a 2-row frame per candidate pair."""
+    Python lambda on a 2-row frame per candidate pair.  Bucket frames
+    stay Arrow end to end (no per-bucket pandas conversion)."""
     import logging
 
     from ray.data.aggregate import Count
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(np.asarray(g[id_col]))
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        id_arr = g.column(id_col)
+        id_arr = id_arr.combine_chunks() if isinstance(id_arr, pa.ChunkedArray) else id_arr
+        ids = np.unique(id_arr.to_numpy(zero_copy_only=False))
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            empty = pa.array([], id_arr.type)
+            return pa.table({"a": empty, "b": empty})
         if len(ids) > MAX_BUCKET:
             n_full = len(ids) * (len(ids) - 1) // 2
             kept = sum(
@@ -253,13 +257,13 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id", **kw
                 len(ids), MAX_BUCKET, kept, n_full,
             )
         a, b = _chunk_pairs(ids, MAX_BUCKET)
-        return pd.DataFrame({"a": a, "b": b})
+        return pa.table({"a": pa.array(a, id_arr.type), "b": pa.array(b, id_arr.type)})
 
     bands = ds.map_batches(
         lambda t: minhash_band_rows(t, text_col, id_col, **kw), batch_format="pyarrow"
     )
     pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+        bucket_pairs, batch_format="pyarrow"
     )
     # distinct pairs (may surface in several bands): native aggregate,
     # then project the key columns back out

@@ -145,8 +145,12 @@ def grouped_quantiles_disc(ds, group_col: str, column: str, qs: list[float]) -> 
     shared gather pass for the finished windows.  Driver state is
     O(groups x qs x bins); scans are O(passes), independent of group
     count.  Returns an Arrow table (group, q, v) sorted by (group, q).
-    Rank semantics match DuckDB ``quantile_disc`` per group."""
+    Works for any hashable group type (string, int, ...): scans compare
+    in the column's native type and the output group column keeps the
+    input type.  Rank semantics match DuckDB ``quantile_disc`` per
+    group."""
     import pyarrow.compute as pc
+
 
     def _group_values(batch: pa.Table):
         g = batch.column(group_col)
@@ -173,9 +177,15 @@ def grouped_quantiles_disc(ds, group_col: str, column: str, qs: list[float]) -> 
         )
 
     stats: dict = {}
-    for r in ds.map_batches(base_partial, batch_format="pyarrow").take_all():
-        n0, l0, h0 = stats.get(r["g"], (0, np.inf, -np.inf))
-        stats[r["g"]] = (n0 + r["n"], min(l0, r["lo"]), max(h0, r["hi"]))
+    group_type = pa.string()  # overwritten by the base pass's real type
+    for b in ds.map_batches(base_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        group_type = t.column("g").type
+        for r in t.to_pylist():
+            n0, l0, h0 = stats.get(r["g"], (0, np.inf, -np.inf))
+            stats[r["g"]] = (n0 + r["n"], min(l0, r["lo"]), max(h0, r["hi"]))
 
     # active selection state: (group, q) -> [rank, lo, hi]
     active: dict = {}
@@ -196,7 +206,7 @@ def grouped_quantiles_disc(ds, group_col: str, column: str, qs: list[float]) -> 
 
         def hist_partial(batch: pa.Table) -> pa.Table:
             g, v = _group_values(batch)
-            garr = np.asarray(g.cast(pa.string()))
+            garr = g.to_numpy(zero_copy_only=False)  # native-typed compare
             out_k, out_c = [], []
             for ki, k in enumerate(keys):
                 e = edges_of[k]
@@ -221,7 +231,7 @@ def grouped_quantiles_disc(ds, group_col: str, column: str, qs: list[float]) -> 
 
         def gather(batch: pa.Table) -> pa.Table:
             g, v = _group_values(batch)
-            garr = np.asarray(g.cast(pa.string()))
+            garr = g.to_numpy(zero_copy_only=False)  # native-typed compare
             ks, vs = [], []
             for ki, k in enumerate(keys):
                 _rank, lo, hi, last = windows[k]
@@ -269,7 +279,7 @@ def grouped_quantiles_disc(ds, group_col: str, column: str, qs: list[float]) -> 
     rows = sorted(results)
     return pa.table(
         {
-            group_col: pa.array([g for g, _q in rows], pa.string()),
+            group_col: pa.array([g for g, _q in rows], group_type),
             "q": pa.array([q for _g, q in rows], pa.float64()),
             "v": pa.array([results[k] for k in rows], pa.float64()),
         }

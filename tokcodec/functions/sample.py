@@ -80,10 +80,19 @@ def key_hash_u64(keys: pa.Array | pa.ChunkedArray, method: str = "fnv") -> np.nd
 def rate_threshold(rate: float) -> int:
     """Exact integer keep-threshold for a [0,1] rate: keep iff
     hash < floor(rate * 2^64).  Computed once here and inlined verbatim
-    into the oracle SQL, so both sides compare against the same int."""
+    into the oracle SQL, so both sides compare against the same int.
+
+    rate >= 1.0 clamps to 2^64-1, which a STRICT compare would still
+    drop a hash equal to 2^64-1 — callers must treat the clamped max as
+    a keep-all sentinel (compare ``u < thr or thr == KEEP_ALL``), which
+    `sample_dataset` / `mix_sources` and the oracle SQL both do."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     return min(int(rate * 2.0**64), 2**64 - 1)
+
+
+# the clamped maximum threshold: "keep everything", checked inclusively
+KEEP_ALL = 2**64 - 1
 
 
 def sample_dataset(ds, rate: float, key_col: str = "doc_id", method: str = "fnv"):
@@ -91,7 +100,9 @@ def sample_dataset(ds, rate: float, key_col: str = "doc_id", method: str = "fnv"
     falls below the rate threshold.  Single-pass, shuffle-free, and
     nested across rates (a row kept at 0.1 is kept at every higher
     rate) — so mixture weights can be tuned without re-selecting the
-    whole corpus."""
+    whole corpus.  rate >= 1.0 keeps every row (no filter at all)."""
+    if rate >= 1.0:
+        return ds
     thr = np.uint64(rate_threshold(rate))
 
     def keep(t: pa.Table) -> pa.Table:
@@ -326,13 +337,16 @@ def mix_sources(
     properties that matter for retuning a 100 TB mixture hold per
     group: nested across rates (raising web 0.1 → 0.2 only ADDS rows,
     never reshuffles the kept set) and partition-independent.  Groups
-    absent from `rates` fall to `default_rate` (0 = drop)."""
+    absent from `rates` fall to `default_rate` (0 = drop).  A group
+    rate >= 1.0 keeps the whole group (its clamped threshold is the
+    KEEP_ALL sentinel, compared inclusively)."""
     thr = {g: np.uint64(rate_threshold(r)) for g, r in rates.items()}
     thr_default = np.uint64(rate_threshold(default_rate))
+    keep_all = np.uint64(KEEP_ALL)
 
     def keep(t: pa.Table) -> pa.Table:
         u = key_hash_u64(t.column(key_col), method)
         bound = _group_lut(t.column(group_col), thr, thr_default).astype(np.uint64)
-        return t.filter(pa.array(u < bound))
+        return t.filter(pa.array((u < bound) | (bound == keep_all)))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

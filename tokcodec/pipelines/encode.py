@@ -113,7 +113,17 @@ def _chunk_cut_rows(
     chunk, and all arithmetic is integer-exact.  With snap_tol > 0 the
     exact row snaps to an adjacent row-group boundary within tolerance —
     the same prev/next candidates the serial planner sees, because chunk
-    edges are themselves row-group boundaries."""
+    edges are themselves row-group boundaries.
+
+    Known bit-identity exception (degenerate): when the exact cut lands
+    on this chunk's FIRST row and a run of zero-mass rows makes the
+    previous chunk's trailing row-group boundary tie on deviation, the
+    serial planner's 'earlier boundary wins' tie-break picks that
+    earlier row, which this chunk-local task cannot see.  Both plans
+    remain valid, deterministic and equal-mass; they differ only in
+    which of two mass-identical boundary rows hosts the cut.  Fixing it
+    would need cross-chunk boundary-mass exchange for a case that
+    requires n_tok == 0 rows exactly at a tied row-group edge."""
     mass = _ntok_chunk(path, rg_lo, rg_hi, token_col)
     cum = np.cumsum(mass)
     rg_bounds = np.empty(0, dtype=np.int64)

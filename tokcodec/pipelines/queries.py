@@ -596,25 +596,14 @@ def window_events(sf_dir: str):
 
 
 def sessionize_events(sf_dir: str):
-    """Gap-based sessionization (30 min) per user: groupby(user).map_groups
-    over ts-sorted groups — the stateful-stream pattern with an exact SQL
-    window-function oracle."""
-    import pandas as pd
+    """Gap-based sessionization (30 min) per user via the block-stitched
+    operator (functions/sessionize.py): one sort shuffle, vectorized
+    per-block session pass, O(blocks) driver stitching — no per-user
+    Python callable (the previous groupby(user).map_groups form was one
+    pandas lambda per user: 10^9 calls at 10^9 users)."""
+    from tokcodec.functions.sessionize import sessionize
 
-    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
-        gap = g["ts"].diff().dt.total_seconds().fillna(0) > 1800
-        g["session_id"] = gap.cumsum().astype("int64")
-        out = (
-            g.groupby("session_id", as_index=False)
-            .agg(n_events=("ts", "size"))
-        )
-        out["user_id"] = g["user_id"].iloc[0]
-        return out[["user_id", "session_id", "n_events"]]
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return sessionize(_rp(sf_dir, "events", columns=["user_id", "ts"]))
 
 
 # broadcast-join small-side guard: above this the build side no longer
@@ -1082,14 +1071,21 @@ def mix_documents(sf_dir: str):
 
 
 def _mix_oracle_sql() -> str:
+    # rate >= 1.0 is keep-all (matches mix_sources' inclusive sentinel
+    # compare — a strict < against the clamped max would drop a row
+    # whose hash equals 2^64-1)
     whens = " ".join(
-        f"WHEN source = '{g}' THEN {sample.rate_threshold(r)}::UBIGINT"
+        f"WHEN source = '{g}' THEN "
+        + (
+            "TRUE"
+            if r >= 1.0
+            else f"md5_number_lower(CAST(doc_id AS VARCHAR)) < {sample.rate_threshold(r)}::UBIGINT"
+        )
         for g, r in MIX_RATES.items()
     )
     return (
         "SELECT doc_id, source FROM documents "
-        f"WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) < "
-        f"(CASE {whens} ELSE 0::UBIGINT END)"
+        f"WHERE CASE {whens} ELSE FALSE END"
     )
 QUOTA_BUDGET = 4000  # bytes of text per source group
 
