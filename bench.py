@@ -325,7 +325,13 @@ def run_bench() -> dict:
         **warm_stats,
         **recovery,
     }
-    ray.shutdown()
+    try:
+        # worker teardown on this sandbox occasionally dumps a logging.cc
+        # stack on stderr (rc stays 0); never let shutdown noise or a
+        # shutdown-time exception eat the result JSON
+        ray.shutdown()
+    except Exception:
+        pass
     return result
 
 

@@ -141,16 +141,46 @@ def test_int_vrank_roundtrip_and_selection():
     assert _enc_vrank(np.array([5, 7], dtype=np.int64)) is None
     assert _enc_vrank(np.full(5000, 9, dtype=np.int64)) is None
     assert _enc_vrank(np.array([0, 1 << 40] * 2000, dtype=np.int64)) is None
-    # zipf token ids: auto must pick vrank through the full-array trial
-    # (the sampled stage alone would reject it) and beat bps by >=5%
+    # zipf token ids (large array): auto must pick the sampled-rank vtop
+    # through the full-array trial (the sampled stage alone would reject
+    # the rank family) and beat bps by >=5%
     from tokcodec.codecs.intcodecs import _enc_bps
 
     auto = encode_int_auto(zipf)
-    assert auto["c"] == "vrank"
+    assert auto["c"] == "vtop"
     assert (decode_int(auto) == zipf).all()
     assert _est_z(auto) < 0.95 * _est_z(_enc_bps(zipf))
     # deterministic across calls (byte-identical resume)
     e1, e2 = encode_int_auto(zipf), encode_int_auto(zipf)
+    assert all((p1 == p2).all() for p1, p2 in zip(e1["p"], e2["p"]))
+
+
+def test_int_vtop_roundtrip_and_guards():
+    from tokcodec.codecs.intcodecs import _dec_vtop, _enc_vtop
+
+    rng = np.random.default_rng(31)
+    for a in (
+        np.minimum(rng.zipf(1.3, 200000), 50256).astype(np.int64),  # token shape
+        np.minimum(rng.zipf(1.3, 200000), 50256).astype(np.int32),  # int32 tokens
+        rng.integers(0, 300, 50000).astype(np.int64),               # small vocab
+        rng.integers(100, 200, 50000).astype(np.int64),             # ew=1 span
+        np.minimum(rng.zipf(1.1, 50000), (1 << 21) - 1).astype(np.int64),  # ew=4
+        np.repeat(np.arange(3000, dtype=np.int64), 5),              # heavy escape
+        np.concatenate([np.arange(2_200_000, dtype=np.int64) % 2,  # values unseen
+                        np.arange(1000, dtype=np.int64) + 7]),     # by the 2M sample
+    ):
+        e = _enc_vtop(a)
+        assert e is not None
+        d = _dec_vtop(e)
+        assert d.dtype == a.dtype and (d == a).all()
+    # guards: negative, tiny, constant, out-of-bound values
+    assert _enc_vtop(np.array([-1, 5] * 2000, dtype=np.int64)) is None
+    assert _enc_vtop(np.array([5, 7], dtype=np.int64)) is None
+    assert _enc_vtop(np.full(5000, 9, dtype=np.int64)) is None
+    assert _enc_vtop(np.array([0, 1 << 40] * 2000, dtype=np.int64)) is None
+    # deterministic across calls (byte-identical resume)
+    zipf = np.minimum(rng.zipf(1.3, 200000), 50256).astype(np.int64)
+    e1, e2 = _enc_vtop(zipf), _enc_vtop(zipf)
     assert all((p1 == p2).all() for p1, p2 in zip(e1["p"], e2["p"]))
 
 

@@ -244,7 +244,7 @@ def test_manifest_records_codec_choices(encoded):
     c0 = mans[0]["codecs"]
     assert set(c0) == {"doc_id", "tokens", "n_tok", "source"}
     assert c0["tokens"].startswith("list(")
-    known = {"plain", "bp", "for", "delta", "rle", "dict", "fsst", "pbytes", "dbytes", "fdict", "fplain", "fbss", "bps", "vrank"}
+    known = {"plain", "bp", "for", "delta", "rle", "dict", "fsst", "pbytes", "dbytes", "fdict", "fplain", "fbss", "bps", "vrank", "vtop"}
     assert c0["source"] in known and c0["n_tok"] in known
 
 

@@ -78,10 +78,15 @@ def encode_bytes_auto(arr: pa.Array, choice: str | None = None) -> dict:
         # small array: the "sample" is the whole array — return the winner
         cands = [_enc_plain_bytes(arr)]
         if n:
-            cands.append(_enc_dict_bytes(arr))
-            f = try_fsst(arr)
-            if f is not None:
-                cands.append(f)
+            d = _enc_dict_bytes(arr)
+            cands.append(d)
+            # ≤64 distinct values: dict (≤6-bit codes + tiny value blob)
+            # always beats FSST's ≥1 code byte per string — skip the
+            # symbol-table build, the costliest step for low-card columns
+            if d["k"]["uvals"]["m"]["n"] > 64:
+                f = try_fsst(arr)
+                if f is not None:
+                    cands.append(f)
         return min(cands, key=_est_z)
     # cap the trial sample by BYTES, not rows: the FSST symbol-table
     # build is O(sample bytes) and dominated encode profiling at 4096
@@ -91,8 +96,11 @@ def encode_bytes_auto(arr: pa.Array, choice: str | None = None) -> dict:
     avg_len = max(1, (arr.nbytes - 8 * n) // max(1, n))
     rows = max(256, min(4096, 16384 // avg_len))
     sample = arr.slice(0, rows)
-    cands = [_enc_plain_bytes(sample), _enc_dict_bytes(sample, fsst_values=False)]
-    fs = try_fsst(sample)
+    dict_cand = _enc_dict_bytes(sample, fsst_values=False)
+    cands = [_enc_plain_bytes(sample), dict_cand]
+    fs = None
+    if dict_cand["k"]["uvals"]["m"]["n"] > 64:  # see small-array shortcut
+        fs = try_fsst(sample)
     if fs is not None:
         cands.append(fs)
     best = min(cands, key=_est_z)["c"]

@@ -282,6 +282,89 @@ def _enc_vrank(arr: np.ndarray) -> dict | None:
     )
 
 
+_VTOP_SAMPLE = 1 << 21  # prefix rows used to pick the top-255 value set
+
+
+def _enc_vtop(arr: np.ndarray) -> dict | None:
+    """Sampled top-value remap — the large-array sibling of ``vrank``.
+
+    vrank's exact frequency ranking needs a full-array bincount plus a
+    rank re-gather for the escaped minority (~55% of encode core time on
+    token columns).  vtop instead picks the top-255 VALUES from a
+    deterministic 2M-row prefix sample (for zipf-shaped columns the
+    top-255 set is stable at that sample size) and stores the escaped
+    minority as raw values minus the column min, byte-plane split so the
+    container zstd squeezes the near-constant high planes.  The encode
+    therefore makes exactly one O(n) LUT gather plus one gather over the
+    escaped ~20%; only the 2M-row sample is counted.  Rank order inside
+    the top set still follows (count desc, value asc) on the sample, so
+    byte-plane entropy matches vrank's on the kept majority; the escaped
+    tail loses the rank canonicalization, which measured <0.1% of block
+    size on the bench corpus (escaped values are the rare tail either
+    way).  Deterministic (prefix sample, stable argsort) so resumed runs
+    re-encode byte-identically."""
+    n = len(arr)
+    if n < 1024:
+        return None
+    lo = int(arr.min())
+    hi = int(arr.max())
+    if lo < 0 or hi >= _VRANK_MAX:
+        return None
+    a64 = arr.astype(np.int64, copy=False)
+    samp = a64[:_VTOP_SAMPLE] if n > _VTOP_SAMPLE else a64
+    cnt = np.bincount(samp, minlength=hi + 1)
+    uniq = np.flatnonzero(cnt)
+    if len(uniq) <= 1:
+        return None  # constant column: rle/dict territory
+    order = np.argsort(-cnt[uniq], kind="stable")  # ties: smaller value first
+    top = uniq[order[:_VRANK_ESC]].astype(np.int64)
+    lut8 = np.full(hi + 1, _VRANK_ESC, dtype=np.uint8)
+    lut8[top] = np.arange(len(top), dtype=np.uint8)
+    b0 = lut8[a64]
+    ei = np.flatnonzero(b0 == _VRANK_ESC)
+    ext = a64[ei] - lo
+    span = hi - lo
+    ew = 1 if span < (1 << 8) else 2 if span < (1 << 16) else 4
+    eb = (
+        np.ascontiguousarray(ext.astype(f"<u{ew}"))
+        .view(np.uint8)
+        .reshape(len(ext), ew)
+    )
+    planes = [b0] + [np.ascontiguousarray(eb[:, i]) for i in range(ew)]
+    return _node(
+        "vtop",
+        {"dt": arr.dtype.str, "n": n, "ne": len(ei), "ew": ew, "lo": lo,
+         "nt": len(top)},
+        planes,
+        k={"values": _best_int(top, allow_dict=False, allow_vrank=False)},
+    )
+
+
+def _dec_vtop(enc: dict) -> np.ndarray:
+    m = enc["m"]
+    target = np.dtype(m["dt"])
+    n, ne, ew, lo, nt = m["n"], m["ne"], m["ew"], m["lo"], m["nt"]
+    b0 = np.frombuffer(enc["p"][0], dtype=np.uint8)[:n]
+    table = np.zeros(256, dtype=target)
+    table[:nt] = decode_int(enc["k"]["values"]).astype(target, copy=False)
+    # one explicit uint8->intp cast beats numpy's implicit per-gather
+    # index conversion (~25% on the n-sized pass); position-indexed
+    # scatter beats boolean fancy scatter for the escaped ~20%
+    # (np.putmask is NOT usable here: it pairs values by absolute array
+    # position, not by running count of set mask bits)
+    idx = b0.astype(np.intp)
+    out = table[idx]  # escape rows read 0, overwritten below
+    if ne:
+        eb = np.empty((ne, ew), dtype=np.uint8)
+        for i in range(ew):
+            eb[:, i] = np.frombuffer(enc["p"][1 + i], dtype=np.uint8)[:ne]
+        ext = eb.reshape(-1).view(np.dtype(f"<u{ew}"))[:ne].astype(np.int64)
+        if lo:
+            ext += lo
+        out[np.flatnonzero(b0 == _VRANK_ESC)] = ext.astype(target, copy=False)
+    return out
+
+
 def _dec_vrank(enc: dict) -> np.ndarray:
     m = enc["m"]
     target = np.dtype(m["dt"])
@@ -311,6 +394,7 @@ _INT_DECODERS = {
     "dict": _dec_dict,
     "bps": _dec_bps,
     "vrank": _dec_vrank,
+    "vtop": _dec_vtop,
 }
 
 
@@ -376,6 +460,10 @@ def _best_int(
         if allow_dict and len(np.unique(sample)) > SAMPLE // 4:
             # cardinality grows with n; sampled dict estimates are biased low
             cands = [fn for fn in cands if fn is not _enc_dict]
+        # large arrays take the sampled-rank path (vtop) via the explicit
+        # comparison below; a sample win for exact vrank would otherwise
+        # trigger a full-array bincount + rank re-gather
+        cands = [fn for fn in cands if fn is not _enc_vrank]
         scored = []
         for ci, enc_fn in enumerate(cands):
             e = enc_fn(sample)
@@ -395,7 +483,10 @@ def _best_int(
             # (exact for fixed-width bp/bps/for) so the loser is never
             # encoded; the applicability guards (non-negative, max <
             # 2^22) skip non-token-shaped columns before the O(n) remap.
-            vr = _enc_vrank(arr)
+            # Large arrays use vtop, the sampled-rank variant: same
+            # escape-coded layout, but the top-255 set comes from a 2M
+            # prefix so the encode never bincounts the full array.
+            vr = _enc_vtop(arr)
             if vr is not None and _est_z(vr) < scored[0][0] * (len(arr) / len(sample)):
                 return vr
         best = best_fn(arr)
