@@ -31,6 +31,8 @@ WORKER_MODULES = [
     "tokcodec/functions/joins.py",
     "tokcodec/functions/sketch.py",
     "tokcodec/functions/quantile.py",
+    "tokcodec/functions/sessionize.py",
+    "tokcodec/functions/vocab.py",
 ]
 
 _LAZY = re.compile(r"^[ \t]+(from tokcodec|import tokcodec)", re.M)

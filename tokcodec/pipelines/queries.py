@@ -1185,6 +1185,44 @@ def _quota_oracle_sql() -> str:
     )
 
 
+# ------------------------------------------------- vocab compaction ----
+
+
+def vocab_remap_events(sf_dir: str):
+    """Vocabulary compaction (functions/vocab.py) end-to-end on a
+    SQL-knowable id column: frequency-rank events.user_id (two-wave
+    count: per-block partials → one native groupby sum), broadcast the
+    mapping once, rewrite the column through the per-actor LUT, then
+    re-aggregate the REWRITTEN column — so the output (new_id, n_events)
+    proves the remap pass itself, and DuckDB's window-rank oracle
+    reproduces it exactly.  The same operator compacts tokens list
+    columns (tests/test_vocab.py covers that path against a numpy
+    reference; token ids are hash-derived so not SQL-expressible)."""
+    from ray.data.aggregate import Count
+
+    from tokcodec.functions import vocab
+
+    ds = _rp(sf_dir, "events", columns=["user_id"])
+    remapped, _old, _new = vocab.compact_vocab(ds, col="user_id")
+    out = remapped.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "new_id": pc.cast(t.column("user_id"), pa.int64()),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _vocab_remap_oracle_sql() -> str:
+    return (
+        "SELECT row_number() OVER (ORDER BY count(*) DESC, user_id ASC) - 1 "
+        "AS new_id, count(*) AS n_events FROM events GROUP BY user_id"
+    )
+
+
 # --------------------------------------------------- sequence packing ----
 
 PACK_SEQ_LEN = 512
@@ -1361,6 +1399,7 @@ def build_queries() -> dict:
         "distinct_langs": distinct_langs,
         "wordcount_topk_documents": wordcount_topk_documents,
         "multimodal_meta_documents": multimodal_meta_documents,
+        "vocab_remap_events": vocab_remap_events,
     }
     return qs
 
@@ -1560,4 +1599,5 @@ def build_oracle_sql() -> dict:
         "quota_documents": _quota_oracle_sql(),
         "topk_per_source": _topk_per_source_oracle_sql(),
         "pack_chunks_documents": _pack_oracle_sql(),
+        "vocab_remap_events": _vocab_remap_oracle_sql(),
     }
