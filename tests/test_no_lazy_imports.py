@@ -33,6 +33,7 @@ WORKER_MODULES = [
     "tokcodec/functions/quantile.py",
     "tokcodec/functions/sessionize.py",
     "tokcodec/functions/vocab.py",
+    "tokcodec/functions/shuffle.py",
 ]
 
 _LAZY = re.compile(r"^[ \t]+(from tokcodec|import tokcodec)", re.M)

@@ -1223,6 +1223,40 @@ def _vocab_remap_oracle_sql() -> str:
     )
 
 
+# -------------------------------------------- deterministic shuffle ----
+
+SHUFFLE_SEED = 7
+
+
+def shuffle_documents(sf_dir: str):
+    """Seeded epoch shuffle (functions/shuffle.py): every row's global
+    position in the reproducible epoch order, md5 mode so DuckDB's
+    window rank over the same hash is the exact per-row oracle.  The
+    fnv mode (vectorized, no per-row Python) is the scale path —
+    determinism/permutation properties covered in tests/test_shuffle.py."""
+    from tokcodec.functions import shuffle as shmod
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id"])
+    out = shmod.epoch_shuffle(ds, key_col="doc_id", seed=SHUFFLE_SEED, method="md5")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "epoch_pos": t.column("epoch_pos"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _shuffle_oracle_sql() -> str:
+    return (
+        "SELECT doc_id, row_number() OVER (ORDER BY "
+        f"md5_number_lower('{SHUFFLE_SEED}-' || CAST(doc_id AS VARCHAR)), "
+        "doc_id) - 1 AS epoch_pos FROM documents"
+    )
+
+
 # --------------------------------------------------- sequence packing ----
 
 PACK_SEQ_LEN = 512
@@ -1402,6 +1436,7 @@ def build_queries() -> dict:
         "wordcount_topk_documents": wordcount_topk_documents,
         "multimodal_meta_documents": multimodal_meta_documents,
         "docs_stats_by_lang": docs_stats_by_lang,  # agg twin of agg_lineitem_pricing
+        "shuffle_documents": shuffle_documents,
     }
     return qs
 
@@ -1602,4 +1637,5 @@ def build_oracle_sql() -> dict:
         "topk_per_source": _topk_per_source_oracle_sql(),
         "pack_chunks_documents": _pack_oracle_sql(),
         "vocab_remap_events": _vocab_remap_oracle_sql(),
+        "shuffle_documents": _shuffle_oracle_sql(),
     }
