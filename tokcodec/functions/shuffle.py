@@ -43,7 +43,13 @@ def epoch_shuffle(
     """Add `pos_col`: the row's 0-based position in the seeded epoch
     order.  `method="md5"` matches DuckDB ``md5_number_lower(CAST(seed
     || '-' || key AS VARCHAR))`` for oracle parity; ``"fnv"`` is the
-    vectorized scale path (same algebraic shape, no per-row Python)."""
+    vectorized scale path (same algebraic shape, no per-row Python).
+
+    Requires UNIQUE keys (the norm for doc/chunk ids): the sort order,
+    the tie-break, and the per-block base map are all keyed by
+    (hash, key), so duplicate keys would make positions within the
+    duplicate group block-layout-dependent and could collide two
+    blocks' base-map tags."""
     import ray
 
     prefix = f"{seed}-"
