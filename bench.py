@@ -403,8 +403,62 @@ def run_scaling() -> dict:
     }
 
 
+_NOISE_MARKS = ("logging.cc:", "*** SIGTERM received", "raylet_client.cc")
+
+
+def _is_teardown_noise(line: str) -> bool:
+    """Ray worker teardown on this sandbox dumps benign SIGTERM stack
+    traces (absl failure-signal handler + RAY_LOG frames) onto whatever
+    fd 2 the children inherited.  rc stays 0 and results are unaffected,
+    but the frames can land AFTER the result JSON in the combined stream
+    the round driver captures, polluting BENCH_r{N}.json's tail (seen in
+    r03).  These are the only line shapes that handler emits."""
+    if any(m in line for m in _NOISE_MARKS):
+        return True
+    s = line.lstrip()
+    return s.startswith("@ 0x") or s.startswith("PC: @ 0x")
+
+
+def _main():
+    # Quarantine fd 2 for this process AND every Ray child (they inherit
+    # it): teardown noise goes to a side file, real diagnostics are
+    # replayed to the original stderr BEFORE the final JSON is printed,
+    # so the JSON line is always the tail of the combined output.
+    side_path = f"/tmp/tokcodec_bench_stderr_{os.getpid()}.log"
+    real_err = os.dup(2)
+    side = os.open(side_path, os.O_CREAT | os.O_TRUNC | os.O_WRONLY, 0o644)
+    os.dup2(side, 2)
+    os.close(side)
+
+    def replay(filter_noise: bool) -> None:
+        sys.stderr.flush()
+        try:
+            with open(side_path, "r", errors="replace") as f:
+                lines = f.readlines()
+            os.lseek(2, 0, os.SEEK_SET)
+            os.ftruncate(2, 0)
+            kept = [
+                ln for ln in lines if not (filter_noise and _is_teardown_noise(ln))
+            ]
+            if kept:
+                os.write(real_err, "".join(kept).encode("utf-8", "replace"))
+        except OSError:
+            pass
+
+    try:
+        result = run_scaling() if "--scaling" in sys.argv else run_bench()
+    except BaseException:
+        replay(filter_noise=False)  # keep every diagnostic on a failure
+        os.dup2(real_err, 2)
+        raise
+    replay(filter_noise=True)
+    print(json.dumps(result), flush=True)
+    # Leave the quarantine in place through interpreter exit: the atexit
+    # process reaper's SIGTERM escalation is what wrote the r03 crash
+    # frames after the JSON, and both its output and any straggler
+    # child's go to the side file, never to the captured stream.
+    os.close(real_err)
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
-    else:
-        print(json.dumps(run_bench()))
+    _main()
