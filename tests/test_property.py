@@ -85,3 +85,36 @@ def test_table_roundtrip_property(texts, ints):
     t = pa.table({"s": pa.array(texts), "i": pa.array(nums), "l": lists})
     back, _ = decode_table(encode_table(t))
     assert back.equals(t)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+                    max_size=6,
+                ),
+            ),
+        ),
+        min_size=0,
+        max_size=80,
+    )
+)
+def test_table_roundtrip_with_nulls_property(rows):
+    """Validity bitmaps at every nesting level must survive the codec
+    tree: null strings, null ints, null lists AND null elements inside
+    lists all round-trip bit-identical (north-rule invariant)."""
+    t = pa.table(
+        {
+            "s": pa.array([r[0] for r in rows], pa.string()),
+            "i": pa.array([r[1] for r in rows], pa.int64()),
+            "l": pa.array([r[2] for r in rows], pa.list_(pa.int32())),
+        }
+    )
+    back, _ = decode_table(encode_table(t))
+    assert back.equals(t)
