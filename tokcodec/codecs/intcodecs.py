@@ -310,8 +310,7 @@ def _enc_vtop(arr: np.ndarray) -> dict | None:
     hi = int(arr.max())
     if lo < 0 or hi >= _VRANK_MAX:
         return None
-    a64 = arr.astype(np.int64, copy=False)
-    samp = a64[:_VTOP_SAMPLE] if n > _VTOP_SAMPLE else a64
+    samp = arr[:_VTOP_SAMPLE] if n > _VTOP_SAMPLE else arr
     cnt = np.bincount(samp, minlength=hi + 1)
     uniq = np.flatnonzero(cnt)
     if len(uniq) <= 1:
@@ -320,20 +319,23 @@ def _enc_vtop(arr: np.ndarray) -> dict | None:
     top = uniq[order[:_VRANK_ESC]].astype(np.int64)
     lut8 = np.full(hi + 1, _VRANK_ESC, dtype=np.uint8)
     lut8[top] = np.arange(len(top), dtype=np.uint8)
-    b0 = lut8[a64]
-    ei = np.flatnonzero(b0 == _VRANK_ESC)
-    ext = a64[ei] - lo
+    # index the LUT with the array's native dtype: numpy's one internal
+    # intp conversion is unavoidable either way, but skipping the
+    # explicit int64 staging copy avoids an n*8-byte buffer and its
+    # memory traffic (the encode path is bandwidth-bound at 32-way)
+    b0 = lut8[arr]
+    mask = b0 == _VRANK_ESC
+    ext = arr[mask]  # native-width gather of the escaped ~20%
+    if lo:
+        ext = ext - arr.dtype.type(lo)
+    ne = len(ext)
     span = hi - lo
     ew = 1 if span < (1 << 8) else 2 if span < (1 << 16) else 4
-    eb = (
-        np.ascontiguousarray(ext.astype(f"<u{ew}"))
-        .view(np.uint8)
-        .reshape(len(ext), ew)
-    )
+    eb = ext.astype(f"<u{ew}").view(np.uint8).reshape(ne, ew)
     planes = [b0] + [np.ascontiguousarray(eb[:, i]) for i in range(ew)]
     return _node(
         "vtop",
-        {"dt": arr.dtype.str, "n": n, "ne": len(ei), "ew": ew, "lo": lo,
+        {"dt": arr.dtype.str, "n": n, "ne": ne, "ew": ew, "lo": lo,
          "nt": len(top)},
         planes,
         k={"values": _best_int(top, allow_dict=False, allow_vrank=False)},
