@@ -228,11 +228,20 @@ def run_bench() -> dict:
     bytes_out = sum(m["bytes_out"] for m in mets)
     parquet_bytes = sum(os.path.getsize(fp) for fp in fixture_files)
 
-    # decode throughput + spot bit-identical check on one partition
-    _wait_for_parallel_headroom(max_wait_s=90.0)  # encode reps re-throttle the host
-    t0 = time.monotonic()
+    # decode throughput + spot bit-identical check on one partition.
+    # Untimed warm pass first: decode allocates different-sized worker
+    # heaps than encode, and this host serves first-touch faults at
+    # single-digit MB/s under load (same rationale as the encode warm-up
+    # above — a cold decode measured 11.2 s where warm reps ran 4.2 s on
+    # identical code); then best-of-2 timed reps.
     assert decode_dataset(out_dir).count() == N_ROWS
-    decode_s = time.monotonic() - t0
+    decode_runs = []
+    for _rep in range(2):
+        _wait_for_parallel_headroom(max_wait_s=90.0)
+        t0 = time.monotonic()
+        assert decode_dataset(out_dir).count() == N_ROWS
+        decode_runs.append(round(time.monotonic() - t0, 3))
+    decode_s = min(decode_runs)
 
     queries = {"encode": round(headline, 3), "decode_all": round(decode_s, 3)}
 
@@ -312,6 +321,7 @@ def run_bench() -> dict:
         "tokens_per_sec": round(n_tok / headline, 0),
         "bytes_out": bytes_out,
         "encode_runs": encode_runs,
+        "decode_runs": decode_runs,
         "tokenize_tokens_per_sec": round(tok_ntok / max(tokenize_s, 1e-9), 0),
         "read_core_s": round(sum(m["read_s"] for m in mets), 2),
         "encode_core_s": round(sum(m["encode_s"] for m in mets), 2),
