@@ -265,3 +265,28 @@ def test_encode_actor_pool_byte_identical(ray_session, fixture_parquet, tmp_path
             os.path.join(out_a, n), "rb"
         ) as f2:
             assert f1.read() == f2.read(), n
+
+
+def test_read_rows_falls_back_without_memory_map(fixture_parquet, monkeypatch):
+    """_read_rows memory-maps local files; on filesystems where mmap is
+    unavailable (remote URIs, some network mounts) it must fall back to
+    the plain reader and return identical rows."""
+    import pyarrow as pa
+
+    from tokcodec.pipelines.encode import _read_rows
+
+    path = fixture_parquet
+    if os.path.isdir(path):
+        path = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith(".parquet")
+        )[0]
+    mapped = _read_rows(path, 5, 300, None)
+
+    def boom(_):
+        raise OSError("mmap unavailable")
+
+    monkeypatch.setattr(pa, "memory_map", boom)
+    plain = _read_rows(path, 5, 300, None)
+    assert plain.equals(mapped)
