@@ -268,7 +268,9 @@ def _enc_vrank(arr: np.ndarray) -> dict | None:
     lut8 = np.minimum(rank_of, _VRANK_ESC).astype(np.uint8)
     b0 = lut8[a64]
     esc = b0 == _VRANK_ESC
-    ext = (rank_of[a64[esc]] - _VRANK_ESC).astype(np.uint32)
+    # np.compress beats boolean fancy-indexing ~1.7x on this extraction
+    # (numpy's a[mask] path re-counts and re-scans the mask)
+    ext = (rank_of[np.compress(esc, a64)] - _VRANK_ESC).astype(np.uint32)
     if len(uniq) - _VRANK_ESC <= 1 << 16:
         eb = np.ascontiguousarray(ext.astype("<u2")).view(np.uint8).reshape(len(ext), 2)
     else:
@@ -325,7 +327,9 @@ def _enc_vtop(arr: np.ndarray) -> dict | None:
     # memory traffic (the encode path is bandwidth-bound at 32-way)
     b0 = lut8[arr]
     mask = b0 == _VRANK_ESC
-    ext = arr[mask]  # native-width gather of the escaped ~20%
+    # np.compress beats boolean fancy-indexing ~1.7x here (numpy's
+    # a[mask] re-counts and re-scans the mask; compress streams it once)
+    ext = np.compress(mask, arr)  # native-width gather of the escaped ~20%
     if lo:
         ext = ext - arr.dtype.type(lo)
     ne = len(ext)
