@@ -8,6 +8,8 @@ All intermediates are int64/uint64 so int32 token ids can't overflow
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from tokcodec.codecs import bitpack
 from tokcodec.codecs.util import zstd_lazy
@@ -353,13 +355,13 @@ def _dec_vtop(enc: dict) -> np.ndarray:
     b0 = np.frombuffer(enc["p"][0], dtype=np.uint8)[:n]
     table = np.zeros(256, dtype=target)
     table[:nt] = decode_int(enc["k"]["values"]).astype(target, copy=False)
-    # one explicit uint8->intp cast beats numpy's implicit per-gather
-    # index conversion (~25% on the n-sized pass); position-indexed
-    # scatter beats boolean fancy scatter for the escaped ~20%
-    # (np.putmask is NOT usable here: it pairs values by absolute array
-    # position, not by running count of set mask bits)
-    idx = b0.astype(np.intp)
-    out = table[idx]  # escape rows read 0, overwritten below
+    # Arrow's take kernel gathers with uint8 indices natively; numpy
+    # fancy indexing first widens the index array to intp (an n*8-byte
+    # staging write).  pc.take + copy + np.place measured ~35% faster
+    # than intp-cast + positional scatter on the 68M-token partition.
+    # np.place pairs the k-th escape value with the k-th set mask bit
+    # (np.putmask is NOT usable: it pairs by absolute array position).
+    out = np.asarray(pc.take(pa.array(table), pa.array(b0))).copy()
     if ne:
         eb = np.empty((ne, ew), dtype=np.uint8)
         for i in range(ew):
@@ -367,7 +369,7 @@ def _dec_vtop(enc: dict) -> np.ndarray:
         ext = eb.reshape(-1).view(np.dtype(f"<u{ew}"))[:ne].astype(np.int64)
         if lo:
             ext += lo
-        out[np.flatnonzero(b0 == _VRANK_ESC)] = ext.astype(target, copy=False)
+        np.place(out, b0 == _VRANK_ESC, ext.astype(target, copy=False))
     return out
 
 
