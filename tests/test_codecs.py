@@ -168,6 +168,10 @@ def test_int_vtop_roundtrip_and_guards():
         np.repeat(np.arange(3000, dtype=np.int64), 5),              # heavy escape
         np.concatenate([np.arange(2_200_000, dtype=np.int64) % 2,  # values unseen
                         np.arange(1000, dtype=np.int64) + 7]),     # by the 2M sample
+        np.repeat(np.arange(100, dtype=np.int32), 20),      # <=255 uniques: ne=0,
+        #   the decode writes nothing after the LUT gather (escape-free path)
+        rng.integers(0, 30_000, 5000).astype(np.int16),     # sub-int32 dtypes through
+        rng.integers(0, 100_000, 5000).astype(np.uint32),   #   the arrow take gather
     ):
         e = _enc_vtop(a)
         assert e is not None
