@@ -1356,7 +1356,9 @@ def build_queries() -> dict:
     # entries, so the first 50 are exactly the SQL-oracled queries that
     # exercise distinct capabilities (round 4 swapped docs_stats_by_lang —
     # a multi-agg twin of agg_lineitem_pricing — past the window to make
-    # room for vocab_remap_events).  Entries past slot 50 are either
+    # room for vocab_remap_events, and predicate_negation_orders — whose
+    # NOT path is also pytest-covered and sibling to predicate_or_events —
+    # past the window for shuffle_documents).  Entries past slot 50 are either
     # rows-only by design (encode_stats) or oracled twins of a visible
     # query (md5-parity dedup, second agg, shuffle-join vs broadcast-join,
     # etc.) — still runnable via tools/check_oracle.py.  The raw
@@ -1380,7 +1382,6 @@ def build_queries() -> dict:
         "predicate_or_events": predicate_or_events,
         "predicate_dates_lineitem": predicate_dates_lineitem,
         "predicate_isin_part": predicate_isin_part,
-        "predicate_negation_orders": predicate_negation_orders,
         "predicate_tokb_roundtrip": predicate_tokb_roundtrip,
         "predicate_tokb_nested": predicate_tokb_nested,
         "evolution_read_documents": evolution_read_documents,
@@ -1427,6 +1428,7 @@ def build_queries() -> dict:
         "quota_documents": quota_documents,
         "pack_chunks_documents": pack_chunks_documents,
         "multimodal_features": multimodal_features,
+        "shuffle_documents": shuffle_documents,
         # ---- slot 51+: outside the driver's CORRECTNESS window ----
         "encode_stats_documents": encode_stats("documents"),  # rows-only by design
         "dedup_exact_documents": dedup_exact_documents,  # md5-parity twin of _fnv
@@ -1436,7 +1438,7 @@ def build_queries() -> dict:
         "wordcount_topk_documents": wordcount_topk_documents,
         "multimodal_meta_documents": multimodal_meta_documents,
         "docs_stats_by_lang": docs_stats_by_lang,  # agg twin of agg_lineitem_pricing
-        "shuffle_documents": shuffle_documents,
+        "predicate_negation_orders": predicate_negation_orders,  # NOT: pytest + OR twin
     }
     return qs
 
