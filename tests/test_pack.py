@@ -131,6 +131,47 @@ def test_pack_empty_docs_and_tail(ray_session, tmp_path):
     assert last["n_tok"] == 22 - 8 * max(got)
 
 
+def test_pack_rejects_stale_token_counts(ray_session, tmp_path):
+    """A token-count column desynced from the tokens lists must fail
+    fast: the plan derives every partition's global base offset from it,
+    so packing through it would silently corrupt chunk layout."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(2000)]),
+            "tokens": pa.array([[1, 2, 3]] * 2000, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([4] * 2000, pa.int64()),  # lies: lists hold 3
+        }
+    )
+    p = str(tmp_path / "stale.parquet")
+    pq.write_table(t, p)
+    with pytest.raises(Exception, match="stale"):
+        pack.pack_dataset(p, str(tmp_path / "out"), seq_len=8, target_tokens=1000)
+
+
+def test_pack_rejects_missing_token_count_column(ray_session, tmp_path):
+    """Without the token-count column plan_partitions would fall back to
+    row-count mass — pack_dataset must refuse instead."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"]),
+            "tokens": pa.array([[1], [2, 3]], type=pa.list_(pa.int32())),
+        }
+    )
+    p = str(tmp_path / "nocount.parquet")
+    pq.write_table(t, p)
+    with pytest.raises(ValueError, match="requires column 'n_tok'"):
+        pack.pack_dataset(p, str(tmp_path / "out"), seq_len=8)
+
+
+def test_list_slice_rejects_int32_offset_overflow():
+    """_list_slice guards the list<int32> offset width BEFORE slicing, so
+    a >=2^31-token partition raises instead of wrapping offsets."""
+    flat = np.zeros(4, dtype=np.int32)
+    bounds = np.array([0, 2**31], dtype=np.int64)
+    with pytest.raises(ValueError, match="int32-offset"):
+        pack._list_slice(flat, bounds)
+
+
 def test_read_packed_streams(ray_session, tmp_path):
     p = str(tmp_path / "tok.parquet")
     write_fixture(p, n_rows=200, seed=13)
