@@ -858,6 +858,41 @@ def test_grouped_quantiles_matches_duckdb(ray_session, tmp_path):
     assert np.array_equal(got["v"].values, ref["v"].values)
 
 
+def test_grouped_quantiles_int_group_keys(ray_session):
+    """Group keys keep their native type end-to-end: an int64 group
+    column must select against int-typed keys (not a str cast) and the
+    output group column must come back int64."""
+    import duckdb
+    import ray.data
+
+    from tokcodec.functions.quantile import grouped_quantiles_disc
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    t = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 5, n), pa.int64()),
+            "x": pa.array(rng.integers(0, 10**6, n).astype(np.float64)),
+        }
+    )
+    got = grouped_quantiles_disc(
+        ray.data.from_arrow(t).repartition(4), "g", "x", [0.5, 0.9]
+    ).to_pandas()
+    assert got["g"].dtype == np.int64
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ref = con.execute(
+        "SELECT * FROM ("
+        "SELECT g, 0.5 AS q, quantile_disc(x, 0.5) AS v FROM t GROUP BY g"
+        " UNION ALL "
+        "SELECT g, 0.9 AS q, quantile_disc(x, 0.9) AS v FROM t GROUP BY g"
+        ") ORDER BY g, q"
+    ).df()
+    assert len(got) == len(ref) == 10
+    assert (got["g"].values == ref["g"].values).all()
+    assert np.array_equal(got["v"].values, ref["v"].values)
+
+
 def test_grouped_quantiles_single_value_group(ray_session):
     import ray.data
 
