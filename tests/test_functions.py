@@ -196,6 +196,59 @@ def test_lsh_finds_injected_near_dups(ray_session):
     assert any({r["a"], r["b"]} == {0, 40} for r in verified)
 
 
+def test_char_shingles_match_ngram_jaccard_reference():
+    """Hashed char-4-gram shingle SETS must reproduce ngram_jaccard's
+    string-set Jaccard exactly (incl. multi-byte UTF-8, empty and
+    shorter-than-n docs, which contribute one truncated gram)."""
+    texts = [
+        "hello world foo bar", "hello world foo baz",
+        "héllo wörld 😀 grams", "", "ab", "abc", "abcd", "abcde",
+    ]
+    didx, sh = dedup._char_shingles(texts, 4)
+
+    def hset(j):
+        return set(sh[didx == j].tolist())
+
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = hset(i), hset(j)
+            u = len(a | b)
+            got = len(a & b) / u if u else 1.0
+            assert abs(got - dedup.ngram_jaccard(texts[i], texts[j], 4)) < 1e-12
+
+
+def test_minhash_char_mode_separates_similar_docs():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a + " extra"
+    c = "completely different words about databases and columnar engines"
+    sig = dedup.minhash_signatures([a, b, c], num_perm=128, k=4, shingle="char")
+    assert (sig[0] == sig[1]).mean() > 0.5 > (sig[0] == sig[2]).mean()
+
+
+def test_ngram_lsh_pipeline_finds_injected_near_dups(ray_session):
+    """End-to-end n-gram Jaccard dedup: char-shingle LSH candidates +
+    exact char-4-gram verification, broadcast AND shuffle plans equal."""
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    texts = [" ".join(rng.choice(words, 25)) for _ in range(30)]
+    texts.append(texts[0] + " tail")  # near-dup of doc 0
+    t = pa.table({"doc_id": list(range(31)), "text": texts})
+    ds = ray.data.from_arrow(t)
+    pairs = dedup.lsh_candidate_pairs(ds, shingle="char", k=4)
+    key = lambda r: (r["a"], r["b"], r["jaccard"])
+    broadcast = sorted(map(key, dedup.verify_jaccard(
+        ds, pairs, tau=0.7, shingle="char", k=4)))
+    assert any((a, b) == (0, 30) for a, b, _ in broadcast)
+    shuffled = sorted(map(key, dedup.verify_jaccard(
+        ds, pairs, tau=0.7, shingle="char", k=4, max_broadcast_pairs=0)))
+    assert broadcast == shuffled
+    # verified scores must equal the scalar reference
+    for a, b, j in broadcast:
+        assert abs(j - round(dedup.ngram_jaccard(texts[a], texts[b], 4), 4)) < 1e-9
+
+
 def test_ngram_jaccard():
     assert dedup.ngram_jaccard("abcdef", "abcdef") == 1.0
     assert dedup.ngram_jaccard("abcdef", "uvwxyz") == 0.0

@@ -147,13 +147,36 @@ def _word_shingles(texts: list[str | None], k: int = 3):
     return sh_doc, hashes
 
 
+def _char_shingles(texts: list[str | None], n: int = 4):
+    """Hashed char n-gram shingles per doc → (doc_index int64[],
+    shingle uint64[]) — the shingle function behind n-gram-Jaccard
+    near-dup (duplicates retained; minhash is insensitive, the verify
+    paths dedup per doc)."""
+    if not texts:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    arr = pa.array([t if t is not None else "" for t in texts], type=pa.string())
+    doc_idx, h, _ = _char_ngram_hashes(arr, n)
+    return doc_idx, h
+
+
+def _shingles(texts: list[str | None], k: int, shingle: str = "word"):
+    """Dispatch: "word" = hashed k-word shingles (MinHash classic),
+    "char" = hashed char k-gram shingles (n-gram Jaccard)."""
+    if shingle == "char":
+        return _char_shingles(texts, k)
+    if shingle != "word":
+        raise ValueError(f"unknown shingle mode {shingle!r}")
+    return _word_shingles(texts, k)
+
+
 def minhash_signatures(
-    texts: list[str | None], num_perm: int = 64, k: int = 3, seed: int = 7
+    texts: list[str | None], num_perm: int = 64, k: int = 3, seed: int = 7,
+    shingle: str = "word",
 ) -> np.ndarray:
     """(n_docs, num_perm) uint64 MinHash matrix, vectorized: one
     (shingles × perms) universal-hash pass + segment-min per doc."""
     n = len(texts)
-    doc_idx, sh = _word_shingles(texts, k)
+    doc_idx, sh = _shingles(texts, k, shingle)
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _M61, size=num_perm, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, _M61, size=num_perm, dtype=np.uint64)
@@ -181,12 +204,13 @@ def minhash_band_rows(
     bands: int = 16,
     k: int = 3,
     seed: int = 7,
+    shingle: str = "word",
 ) -> pa.Table:
     """Explode each doc into `bands` rows (band, band_hash, id) for the
     LSH bucket groupby."""
     texts = batch.column(text_col).to_pylist()
     ids = batch.column(id_col).to_pylist()
-    sig = minhash_signatures(texts, num_perm, k, seed)
+    sig = minhash_signatures(texts, num_perm, k, seed, shingle)
     r = num_perm // bands
     n = len(texts)
     band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
@@ -282,8 +306,10 @@ def verify_jaccard(
     k: int = 3,
     tau: float = 0.5,
     max_broadcast_pairs: int = 100_000,
+    shingle: str = "word",
 ):
-    """Exact word-shingle Jaccard for candidate pairs, computed OFF the
+    """Exact shingle-set Jaccard for candidate pairs (word k-shingles by
+    default; `shingle="char"` = char k-gram Jaccard), computed OFF the
     driver.  Two execution plans, auto-selected on candidate-pair count:
 
     * broadcast (<= `max_broadcast_pairs`): the doc→pair-id index (ids
@@ -303,7 +329,9 @@ def verify_jaccard(
     if n_pairs == 0:
         return []
     if n_pairs > max_broadcast_pairs:
-        return _verify_jaccard_shuffle(ds, pairs, text_col, id_col, k, tau, n_pairs)
+        return _verify_jaccard_shuffle(
+            ds, pairs, text_col, id_col, k, tau, n_pairs, shingle
+        )
     pair_rows = pairs.take_all()  # ids only: (a, b) per candidate pair
     doc2pids: dict = {}
     for pid, r in enumerate(pair_rows):
@@ -318,7 +346,7 @@ def verify_jaccard(
         hit = [(i, t) for i, t in zip(ids, texts) if i in m]
         out = []
         if hit:
-            didx, sh = _word_shingles([t for _, t in hit], k)
+            didx, sh = _shingles([t for _, t in hit], k, shingle)
             for j, (i, _) in enumerate(hit):
                 shj = sh[didx == j].astype(np.int64).tolist()
                 for pid in m[i]:
@@ -351,7 +379,8 @@ def verify_jaccard(
     return out
 
 
-def _verify_jaccard_shuffle(ds, pairs, text_col, id_col, k, tau, n_pairs):
+def _verify_jaccard_shuffle(ds, pairs, text_col, id_col, k, tau, n_pairs,
+                            shingle: str = "word"):
     """Shuffle-join verification plan: no driver-side pair state.
 
     pairs (a,b) → explode to (doc_id, a, b); corpus → per-doc DISTINCT
@@ -377,7 +406,7 @@ def _verify_jaccard_shuffle(ds, pairs, text_col, id_col, k, tau, n_pairs):
     def doc_shingles(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        didx, sh = _word_shingles(texts, k)
+        didx, sh = _shingles(texts, k, shingle)
         # per-doc distinct (shingle SETS): lexsort + change-point mask
         order = np.lexsort((sh, didx))
         d_s, h_s = didx[order], sh[order]
@@ -451,19 +480,16 @@ def simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id", out="simhas
     return batch.append_column(out, pa.array(sig.view(np.int64), type=pa.int64()))
 
 
-def ngram_profile(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 4, out: str = "n_grams") -> pa.Table:
-    """Distinct CHARACTER n-gram count per doc (the per-doc building
-    block of n-gram Jaccard), fully vectorized: UTF-8 char starts from
-    one byte-class pass, sliding char-window byte spans, one batched FNV
-    pass, lexsort + change-point count — no per-row Python.  Docs
-    shorter than n chars contribute ONE truncated gram (matching
-    ngram_jaccard's set semantics)."""
-    data, off, n_docs = flat_utf8(batch.column(text_col))
+def _char_ngram_hashes(col, n: int = 4):
+    """Hashed char n-gram windows per doc, duplicates retained →
+    (doc_index int64[], hash uint64[], n_docs).  Fully vectorized:
+    UTF-8 char starts from one byte-class pass, sliding char-window
+    byte spans, one batched FNV pass — no per-row Python.  Docs shorter
+    than n chars contribute ONE truncated gram (matching ngram_jaccard's
+    set semantics); empty docs one zero-length gram."""
+    data, off, n_docs = flat_utf8(col)
     if n_docs == 0:
-        return pa.table(
-            {id_col: batch.column(id_col), out: pa.array([], pa.int64())}
-        )
+        return np.empty(0, np.int64), np.empty(0, np.uint64), 0
     # char starts: every byte that is NOT a UTF-8 continuation byte
     cpos = np.flatnonzero((data & 0xC0) != 0x80)
     c0 = np.searchsorted(cpos, off[:-1])
@@ -488,7 +514,20 @@ def ngram_profile(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     )
     span_lens = gram_end - gram_start
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), m)
-    h = fnv1a_spans(data, gram_start, span_lens)
+    return doc_idx, fnv1a_spans(data, gram_start, span_lens), n_docs
+
+
+def ngram_profile(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 4, out: str = "n_grams") -> pa.Table:
+    """Distinct CHARACTER n-gram count per doc (the per-doc building
+    block of n-gram Jaccard): `_char_ngram_hashes` + lexsort +
+    change-point count — no per-row Python."""
+    doc_idx, h, n_docs = _char_ngram_hashes(batch.column(text_col), n)
+    if n_docs == 0:
+        return pa.table(
+            {id_col: batch.column(id_col), out: pa.array([], pa.int64())}
+        )
+    total = len(h)
     order = np.lexsort((h, doc_idx))
     d_s, h_s = doc_idx[order], h[order]
     new = np.ones(total, dtype=bool)

@@ -835,6 +835,36 @@ def dedup_minhash_recall(sf_dir: str):
     )
 
 
+def dedup_ngram_recall(sf_dir: str):
+    """Recall bar for char-n-gram Jaccard near-dup — the brief's
+    'n-gram Jaccard' dedup method as an END-TO-END pipeline (not just
+    the per-doc profile): MinHash-LSH candidates over hashed char
+    4-gram shingles (`dedup.lsh_candidate_pairs(shingle="char")`), then
+    exact char-4-gram Jaccard verification at tau=0.5, with the same
+    injected-pair (id, id+1M) recall bar as dedup_minhash_recall.  The
+    scale shape is identical to the word-shingle pipeline: vectorized
+    shingle→signature batches, banded bucket groupby with capped pair
+    emission, broadcast-or-shuffle-join exact verification."""
+    import pyarrow.parquet as pq
+
+    ds = _docs_with_near_dups(sf_dir)
+    pairs = dedup.lsh_candidate_pairs(ds, shingle="char", k=4)
+    verified = dedup.verify_jaccard(ds, pairs, tau=0.5, shingle="char", k=4)
+    found = {(r["a"], r["b"]) for r in verified}
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+    injected = [i for i in ids if i % 8 == 0]
+    n = len(injected)
+    hit = sum((i, i + 1_000_000) in found for i in injected)
+    return pa.table(
+        {
+            "n_injected": pa.array([n], pa.int64()),
+            "recall_ok": pa.array([n > 0 and hit / n >= 0.95], pa.bool_()),
+        }
+    )
+
+
 def dedup_simhash_recall(sf_dir: str):
     """Recall bar for SimHash near-dup (same pattern as
     dedup_minhash_recall): every injected (id, id+1M) mutation pair must
@@ -1356,9 +1386,11 @@ def build_queries() -> dict:
     # entries, so the first 50 are exactly the SQL-oracled queries that
     # exercise distinct capabilities (round 4 swapped docs_stats_by_lang —
     # a multi-agg twin of agg_lineitem_pricing — past the window to make
-    # room for vocab_remap_events, and predicate_negation_orders — whose
+    # room for vocab_remap_events, predicate_negation_orders — whose
     # NOT path is also pytest-covered and sibling to predicate_or_events —
-    # past the window for shuffle_documents).  Entries past slot 50 are either
+    # past the window for shuffle_documents, and sample_documents — a
+    # hash-threshold twin of split/mix/quota — past the window for
+    # dedup_ngram_recall).  Entries past slot 50 are either
     # rows-only by design (encode_stats) or oracled twins of a visible
     # query (md5-parity dedup, second agg, shuffle-join vs broadcast-join,
     # etc.) — still runnable via tools/check_oracle.py.  The raw
@@ -1414,6 +1446,7 @@ def build_queries() -> dict:
         # --- dedup ---
         "dedup_exact_fnv_documents": dedup_exact_fnv_documents,
         "dedup_minhash_recall": dedup_minhash_recall,
+        "dedup_ngram_recall": dedup_ngram_recall,
         "dedup_simhash_recall": dedup_simhash_recall,
         "embedding_dups": embedding_dups,
         # --- ANN ---
@@ -1422,7 +1455,6 @@ def build_queries() -> dict:
         "ann_ivf_recall": ann_ivf_recall,
         "ann_ivf_partitioned_recall": ann_ivf_partitioned_recall,
         # --- corpus mixing / packing / multimodal ---
-        "sample_documents": sample_documents,
         "mix_documents": mix_documents,
         "split_documents": split_documents,
         "quota_documents": quota_documents,
@@ -1431,6 +1463,7 @@ def build_queries() -> dict:
         "shuffle_documents": shuffle_documents,
         # ---- slot 51+: outside the driver's CORRECTNESS window ----
         "encode_stats_documents": encode_stats("documents"),  # rows-only by design
+        "sample_documents": sample_documents,  # hash-threshold twin of split/mix/quota
         "dedup_exact_documents": dedup_exact_documents,  # md5-parity twin of _fnv
         "agg_events_by_type": agg_events_by_type,
         "shuffle_join_lineitem_orders": shuffle_join_lineitem_orders,
@@ -1586,6 +1619,10 @@ def build_oracle_sql() -> dict:
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "dedup_minhash_recall": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_injected, TRUE AS recall_ok "
+            "FROM documents WHERE doc_id % 8 = 0"
+        ),
+        "dedup_ngram_recall": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_injected, TRUE AS recall_ok "
             "FROM documents WHERE doc_id % 8 = 0"
         ),
