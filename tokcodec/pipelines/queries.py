@@ -18,10 +18,44 @@ from tokcodec.predicate import col, read_parquet_filtered
 from tokcodec.scanner import scan_schema
 
 
+# Row-aware read granularity for the catalog queries: Ray's default
+# splits even a 5000-row file into ~2*CPUs blocks to hit its parallelism
+# target, and every per-block stage (codec sampling, FSST table build,
+# auto-selection trials in encode_stream) then pays its fixed setup cost
+# 64 times on 78-row blocks — measured 4x on the sf0.1 roundtrip.  Keep
+# at least `_RP_MIN_ROWS_PER_BLOCK` rows per block (floor 4 blocks so
+# multi-block code paths — boundary stitching, partial aggregation —
+# still execute in driver runs) and only override when that is FEWER
+# blocks than Ray's own target: row-rich tables (lineitem at any sf,
+# anything at 100 TB) disengage the heuristic and keep full shuffle
+# parallelism — capping aggregate inputs at 4 blocks measurably HURT
+# (group-by reduce width follows input block count).  Row count comes
+# from the parquet footer (metadata-only read).
+_RP_MIN_ROWS_PER_BLOCK = 2000
+
+
 def _rp(sf_dir: str, table: str, **kw):
+    import pyarrow.parquet as pq
+
+    import ray
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", **kw)
+    path = f"{sf_dir}/{table}.parquet"
+    if "override_num_blocks" not in kw:
+        try:
+            rows = pq.read_metadata(path).num_rows
+        except Exception:
+            rows = None
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        if rows is not None:
+            want = max(4, -(-rows // _RP_MIN_ROWS_PER_BLOCK))
+            if want < cpus * 2:
+                kw["override_num_blocks"] = int(want)
+    return ray.data.read_parquet(path, **kw)
 
 
 # ------------------------------------------------------------ engine ----
