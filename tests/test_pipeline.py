@@ -290,3 +290,44 @@ def test_read_rows_falls_back_without_memory_map(fixture_parquet, monkeypatch):
     monkeypatch.setattr(pa, "memory_map", boom)
     plain = _read_rows(path, 5, 300, None)
     assert plain.equals(mapped)
+
+
+def test_rp_row_aware_block_override(monkeypatch, tmp_path):
+    """_rp keeps >=~2000 rows per block on row-poor tables (floor 4) and
+    DISENGAGES on row-rich ones so shuffle parallelism is never capped."""
+    import pyarrow as pa
+
+    import ray.data
+    from tokcodec.pipelines import queries as q
+
+    captured = {}
+
+    def fake_read_parquet(path, **kw):
+        captured.update(kw, path=path)
+        return "ds"
+
+    monkeypatch.setattr(ray.data, "read_parquet", fake_read_parquet)
+
+    small = tmp_path / "small.parquet"
+    pq.write_table(pa.table({"x": list(range(500))}), small)
+    captured.clear()
+    q._rp(str(tmp_path), "small")
+    assert captured["override_num_blocks"] == 4  # floor: multi-block paths run
+
+    mid = tmp_path / "mid.parquet"
+    pq.write_table(pa.table({"x": list(range(12_000))}), mid)
+    captured.clear()
+    q._rp(str(tmp_path), "mid")
+    assert captured["override_num_blocks"] == 6  # ceil(12000 / 2000)
+
+    # explicit override wins
+    captured.clear()
+    q._rp(str(tmp_path), "mid", override_num_blocks=2)
+    assert captured["override_num_blocks"] == 2
+
+    # row-rich: want >= 2*cpus -> no override, Ray's default splitting
+    big = tmp_path / "big.parquet"
+    pq.write_table(pa.table({"x": np.zeros(600_000, np.int64)}), big)
+    captured.clear()
+    q._rp(str(tmp_path), "big")
+    assert "override_num_blocks" not in captured
