@@ -492,29 +492,75 @@ def docs_stats_by_lang(sf_dir: str):
 
 
 def agg_lineitem_pricing(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Min, Sum
+    """Grouped pricing summary with PARTIAL aggregation: the key space
+    is tiny (|returnflag × linestatus| = 6), so each batch collapses to
+    ≤6 partial rows via Arrow's native group_by before the exchange —
+    the groupby shuffle moves O(blocks × 6) rows instead of every
+    lineitem row (count_all/sum/max/min are all mergeable monoids;
+    COUNT(*) semantics via count_all, not non-null count)."""
+    from ray.data.aggregate import Max, Min, Sum
 
     ds = _rp(
         sf_dir,
         "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
-    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Count(alias_name="n"),
-        Sum("l_quantity", alias_name="sum_qty"),
-        Max("l_extendedprice", alias_name="max_price"),
-        Min("l_extendedprice", alias_name="min_price"),
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [([], "count_all"), ("l_quantity", "sum"),
+             ("l_extendedprice", "max"), ("l_extendedprice", "min")]
+        )
+        # select BY NAME: aggregate output column order is pyarrow-
+        # version-dependent (keys first on 16.x, last on older)
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "pn": g.column("count_all"),
+                "ps": g.column("l_quantity_sum"),
+                "pmx": g.column("l_extendedprice_max"),
+                "pmn": g.column("l_extendedprice_min"),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("pn", alias_name="n"),
+        Sum("ps", alias_name="sum_qty"),
+        Max("pmx", alias_name="max_price"),
+        Min("pmn", alias_name="min_price"),
     )
 
 
 def agg_events_by_type(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Min
+    """Same partial-aggregation shape as agg_lineitem_pricing (the
+    event-type key space is tiny, so each batch collapses before the
+    exchange)."""
+    from ray.data.aggregate import Max, Min, Sum
 
     ds = _rp(sf_dir, "events", columns=["event_type", "value"])
-    return ds.groupby("event_type").aggregate(
-        Count(alias_name="n"),
-        Max("value", alias_name="max_value"),
-        Min("value", alias_name="min_value"),
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("value", "max"), ("value", "min")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "pn": g.column("count_all"),
+                "pmx": g.column("value_max"),
+                "pmn": g.column("value_min"),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(
+        Sum("pn", alias_name="n"),
+        Max("pmx", alias_name="max_value"),
+        Min("pmn", alias_name="min_value"),
     )
 
 
