@@ -483,11 +483,28 @@ def _tfidf_oracle_sql() -> str:
 
 
 def docs_stats_by_lang(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    """Partial-aggregation shape (see agg_lineitem_pricing): each batch
+    collapses to ≤|langs| rows before the exchange."""
+    from ray.data.aggregate import Sum
 
     ds = _rp(sf_dir, "documents", columns=["lang", "n_chars"])
-    return ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate(
+            [([], "count_all"), ("n_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "pn": g.column("count_all"),
+                "ps": g.column("n_chars_sum"),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "lang"
+    ).aggregate(
+        Sum("pn", alias_name="n_docs"), Sum("ps", alias_name="total_chars")
     )
 
 
@@ -641,14 +658,23 @@ def topk_documents(sf_dir: str):
 
 
 def distinct_langs(sf_dir: str):
-    vals = _rp(sf_dir, "documents", columns=["lang"]).unique("lang")
+    """DISTINCT with a per-batch combiner: each batch emits only its
+    distinct values, so the unique() exchange moves O(blocks × |langs|)
+    rows instead of one row per document."""
+    ds = _rp(sf_dir, "documents", columns=["lang"])
+    vals = ds.map_batches(
+        lambda t: pa.table(
+            {"lang": pc.unique(t.column("lang").combine_chunks())}
+        ),
+        batch_format="pyarrow",
+    ).unique("lang")
     return pa.table({"lang": pa.array(sorted(vals), type=pa.string())})
 
 
 def window_events(sf_dir: str):
     """Tumbling 1h event-time window per event_type — the batch form of a
     streaming windowed aggregate (ray_guide 'Streaming-shaped workloads')."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     ds = _rp(sf_dir, "events", columns=["event_type", "ts"])
 
@@ -668,10 +694,23 @@ def window_events(sf_dir: str):
             "win", pa.array(win, type=pa.int64(), mask=mask)
         ).drop_columns(["ts"])
 
+    def partial(t: pa.Table) -> pa.Table:
+        # combiner: a batch holds few distinct (type, window) cells, so
+        # collapse locally before the exchange (count_all keeps COUNT(*))
+        g = t.group_by(["event_type", "win"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "win": g.column("win"),
+                "pn": g.column("count_all"),
+            }
+        )
+
     return (
         ds.map_batches(add_win, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "win"])
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("pn", alias_name="n"))
     )
 
 
@@ -815,11 +854,22 @@ def distinct_users_hll(sf_dir: str):
 
 
 def having_orders(sf_dir: str):
-    """GROUP BY + HAVING: aggregate then vectorized post-filter."""
-    from ray.data.aggregate import Count
+    """GROUP BY + HAVING: per-batch partial counts (the standard
+    combiner — a customer's orders co-located in a block collapse to
+    one row before the exchange), merge, then vectorized post-filter."""
+    from ray.data.aggregate import Sum
 
     ds = _rp(sf_dir, "orders", columns=["o_custkey"])
-    agg = ds.groupby("o_custkey").aggregate(Count(alias_name="n"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.table(
+            {"o_custkey": g.column("o_custkey"), "pn": g.column("count_all")}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_custkey"
+    ).aggregate(Sum("pn", alias_name="n"))
     return agg.map_batches(
         lambda t: t.filter(pc.greater(t.column("n"), 5)), batch_format="pyarrow"
     )
