@@ -36,6 +36,18 @@ from tokcodec.projection import Projection, project_schema, resolve_path
 
 MAGIC = b"TOKB1\x00"
 _ZSTD_MIN = 128  # don't bother compressing tiny segments
+# Probe-gate full-segment zstd: segments over this size first compress a
+# 64 KB prefix and skip the full pass when the prefix barely compresses
+# (ratio > 0.96).  High-entropy payloads (vtop/vrank escape values, bps
+# low-byte planes) are ~15-20% of a token partition's bytes and always
+# land above the 0.98 keep threshold anyway — the probe costs ~0.1 ms
+# where the discarded full compress cost ~2 ms/partition.  Borderline
+# segments (full ratio in 0.96-0.98) were already being discarded, so
+# the gate can only flip segments whose prefix and full ratios straddle
+# 0.96-0.98 — a few KB on a multi-MB partition, and decode is unaffected
+# (raw=0 segments are stored verbatim either way).
+_ZSTD_PROBE_MIN = 1 << 19
+_ZSTD_PROBE_BYTES = 1 << 16
 _zstd_lazy = zstd_lazy
 
 _INT_TYPES = {
@@ -371,10 +383,16 @@ def encode_table(table: pa.Table, meta: dict | None = None, zstd: bool = True) -
     for p in segments:
         raw = 0
         if zstd and len(p) >= _ZSTD_MIN:
-            c = _zstd_lazy.get().compress(p, asbytes=True)
-            if len(c) < len(p) * 0.98:
-                raw = len(p)
-                p = c
+            z = _zstd_lazy.get()
+            skip = False
+            if len(p) >= _ZSTD_PROBE_MIN:
+                pref = p[:_ZSTD_PROBE_BYTES]
+                skip = len(z.compress(pref, asbytes=True)) > len(pref) * 0.96
+            if not skip:
+                c = z.compress(p, asbytes=True)
+                if len(c) < len(p) * 0.98:
+                    raw = len(p)
+                    p = c
         seg_table.append({"o": off, "l": len(p), "raw": raw})
         payloads.append(p)
         off += len(p)
