@@ -92,9 +92,17 @@ def encode_bytes_auto(arr: pa.Array, choice: str | None = None) -> dict:
     # build is O(sample bytes) and dominated encode profiling at 4096
     # rows x ~16 B (~80 ms/partition, ~19% of encode core time); the
     # VLDB'20 reference builds its table from a ~16 KB sample, which
-    # loses almost nothing in pick quality
+    # loses almost nothing in pick quality.  8 KB decides identically to
+    # 16 KB on every corpus column (plain-vs-fsst margins are ~2x) at
+    # half the trial cost; the row floor of 128 keeps the >64-uniques
+    # dict-vs-fsst gate meaningful (a 64-row sample could never exceed
+    # it) while capping long-string trial samples at ~128 rows instead
+    # of 256.  Winners still build their real table from up to
+    # SAMPLE_BYTES (32 KB) of data inside try_fsst, so a smaller trial
+    # only changes which columns pay the full build, not its quality
+    # when the sample carries >= 32 KB.
     avg_len = max(1, (arr.nbytes - 8 * n) // max(1, n))
-    rows = max(256, min(4096, 16384 // avg_len))
+    rows = max(128, min(4096, 8192 // avg_len))
     sample = arr.slice(0, rows)
     dict_cand = _enc_dict_bytes(sample, fsst_values=False)
     cands = [_enc_plain_bytes(sample), dict_cand]
