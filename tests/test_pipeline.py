@@ -189,6 +189,56 @@ def test_plan_cuts_snap_to_row_group_boundaries(tmp_path):
     assert any(c not in bounds for c in exact_cuts)
 
 
+def test_plan_snap_covers_target_near_rg_mass(tmp_path):
+    """When target_tokens ~ row-group mass, snap_frac*target alone is
+    smaller than the typical cut-to-boundary deviation (uniform in
+    [0, rg_mass/2]) — the row-group-mass tolerance floor must still
+    align essentially every cut so no row group decodes twice."""
+    from tokcodec.synth import write_fixture
+
+    p = str(tmp_path / "nearmass.parquet")
+    write_fixture(p, n_rows=6000, seed=13, row_group_size=500, heavy_tail=False)
+    md = pq.ParquetFile(p).metadata
+    bounds = {0}
+    acc = 0
+    for i in range(md.num_row_groups):
+        acc += md.row_group(i).num_rows
+        bounds.add(acc)
+    total = sum(
+        pq.ParquetFile(p).read_row_groups([i], columns=["n_tok"]).column(0).to_numpy().sum()
+        for i in range(md.num_row_groups)
+    )
+    rg_mass = total // md.num_row_groups
+    # target == one row-group mass: the hostile regime for target-only tolerance
+    plan = plan_partitions(p, target_tokens=int(rg_mass), parallel=False)
+    cuts = [s["row_start"] for s in plan["partitions"]]
+    assert len(cuts) >= 6
+    unaligned = [c for c in cuts if c not in bounds]
+    assert not unaligned, f"unaligned cuts at target~rg_mass: {unaligned}"
+    # the floor is capped: partitions stay within the documented ~2.1x bar
+    masses = [s["n_tok"] for s in plan["partitions"]]
+    assert max(masses) < 2.2 * rg_mass
+
+
+def test_snap_tolerance_formula():
+    """The tolerance is max(snap_frac*target, min(0.6*mean_rg_mass,
+    0.55*target)) in exact integer arithmetic, and 0 when snapping is
+    disabled."""
+    from tokcodec.pipelines.encode import _snap_tolerance
+
+    # floor engages below the cap: mean rg mass 500 -> 0.6*500 = 300 > 200
+    assert _snap_tolerance(0.2, 1000, 5_000, 10) == 300
+    # cap engages: mean rg mass >= target -> floor capped at 0.55*target
+    assert _snap_tolerance(0.4, 1000, 10_000, 10) == 550
+    assert _snap_tolerance(0.4, 1000, 100_000, 1) == 550
+    # target-frac dominates when row groups are small
+    assert _snap_tolerance(0.4, 1000, 1_000, 10) == 400
+    # snapping disabled
+    assert _snap_tolerance(0.0, 1000, 10_000, 10) == 0
+    # no row groups: fall back to the target-frac tolerance
+    assert _snap_tolerance(0.4, 1000, 0, 0) == 400
+
+
 def test_plan_snap_keeps_exact_cut_inside_monster_group(tmp_path):
     """One row group holding >> target tokens must still be cut exactly
     (mid-group): the nearest boundary's deviation exceeds tolerance, so
