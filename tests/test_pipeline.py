@@ -239,6 +239,36 @@ def test_snap_tolerance_formula():
     assert _snap_tolerance(0.4, 1000, 0, 0) == 400
 
 
+def test_plan_null_token_counts_are_zero_mass(tmp_path):
+    """Null n_tok rows must contribute zero mass (Arrow's null→NaN→int64
+    cast would otherwise land on int64-min and poison the cumulative
+    cuts), while every row still lands in exactly one partition."""
+    import pyarrow as pa
+
+    p = str(tmp_path / "nulls.parquet")
+    n_tok = [10] * 50 + [None] * 5 + [20] * 50
+    tokens = [[1] * (v or 0) for v in n_tok]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [f"d{i}" for i in range(len(n_tok))],
+                "tokens": pa.array(tokens, pa.list_(pa.int32())),
+                "n_tok": pa.array(n_tok, pa.int32()),
+            }
+        ),
+        p,
+        row_group_size=16,
+    )
+    plan = plan_partitions(p, target_tokens=500, parallel=False)
+    parts = plan["partitions"]
+    assert all(s["n_tok"] >= 0 for s in parts), [s["n_tok"] for s in parts]
+    assert sum(s["n_tok"] for s in parts) == 10 * 50 + 20 * 50
+    # complete, non-overlapping row coverage
+    bounds = sorted((s["row_start"], s["row_end"]) for s in parts)
+    assert bounds[0][0] == 0 and bounds[-1][1] == len(n_tok)
+    assert all(a[1] == b[0] for a, b in zip(bounds, bounds[1:]))
+
+
 def test_plan_snap_keeps_exact_cut_inside_monster_group(tmp_path):
     """One row group holding >> target tokens must still be cut exactly
     (mid-group): the nearest boundary's deviation exceeds tolerance, so

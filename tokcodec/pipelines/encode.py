@@ -91,9 +91,15 @@ def _snap_tolerance(snap_frac: float, target_tokens: int, total: int, n_rgs: int
 
 def _ntok_chunk(path: str, rg_lo: int, rg_hi: int, token_col: str) -> np.ndarray:
     """Token-mass array for row groups [rg_lo, rg_hi) of one file — the
-    unit of the parallel 'stats pass' (reads ONE small column)."""
+    unit of the parallel 'stats pass' (reads ONE small column).  Null
+    token counts contribute ZERO mass (the row still encodes; it just
+    doesn't steer balancing) — without the fill, Arrow's null→NaN→int64
+    cast lands on int64-min and one bad row poisons the cumulative-mass
+    cuts for its whole file."""
     f = pq.ParquetFile(path)
     t = f.read_row_groups(list(range(rg_lo, rg_hi)), columns=[token_col], use_threads=False)
+    if t.column(0).null_count:
+        t = t.set_column(0, t.schema.field(0), pa.compute.fill_null(t.column(0), 0))
     return np.abs(t.column(0).to_numpy(zero_copy_only=False).astype(np.int64))
 
 
