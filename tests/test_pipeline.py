@@ -57,6 +57,37 @@ def test_size_criterion(encoded):
     assert total <= os.path.getsize(src)
 
 
+def test_replan_purges_stale_blocks(encoded, tmp_path):
+    """Re-encoding the same out_dir with a DIFFERENT plan must remove the
+    old plan's surplus blocks — decode previously concatenated rows from
+    both plans — and decode must refuse a dir holding foreign-fingerprint
+    blocks (tampered / hand-mixed)."""
+    import json
+    import shutil
+
+    src, shared_out, _ = encoded
+    out = str(tmp_path / "replan")
+    shutil.copytree(shared_out, out)  # private copy: the fixture is module-scoped
+    n_rows = pq.read_table(src).num_rows
+    res = encode_dataset(src, out, target_tokens=TARGET * 4)
+    blocks = [f for f in os.listdir(out) if f.endswith(".tokb")]
+    assert len(blocks) == len(res["plan"]["partitions"])  # no leftovers
+    assert decode_dataset(out).count() == n_rows
+    # foreign-fingerprint block -> decode refuses
+    man = json.load(open(os.path.join(out, "part-00000.manifest.json")))
+    man.update(fingerprint="deadbeef", pid=999, block="part-00999.tokb")
+    shutil.copy(
+        os.path.join(out, "part-00000.tokb"), os.path.join(out, "part-00999.tokb")
+    )
+    with open(os.path.join(out, "part-00999.manifest.json"), "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="different plan"):
+        decode_dataset(out)
+    # re-encoding with the original plan purges the foreign block again
+    encode_dataset(src, out, target_tokens=TARGET * 4)
+    assert decode_dataset(out).count() == n_rows
+
+
 def test_resume_skips_complete_partitions(encoded):
     src, out, _ = encoded
     res = encode_dataset(src, out, target_tokens=TARGET)

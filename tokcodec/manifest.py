@@ -108,3 +108,39 @@ def list_manifests(out_dir: str) -> list[dict]:
             with open(os.path.join(out_dir, name)) as f:
                 out.append(json.load(f))
     return out
+
+
+def purge_stale(out_dir: str, fp: str) -> int:
+    """Remove manifest+block pairs whose plan fingerprint differs from
+    `fp` — leftovers of an earlier run with a DIFFERENT plan (other
+    target_tokens, changed inputs) over the same out_dir.  Without the
+    purge those surplus blocks survive the new run and decode_dataset
+    would concatenate rows from both plans (measured: 3000-row input
+    decoded to 5338 rows after re-encoding with a larger target).
+    Unreadable (half-written) manifests are removed too.  Returns the
+    number of partitions purged.  Concurrent encodes of different plans
+    into one out_dir were never supported; with the purge the outcome
+    is last-writer-wins instead of silent row duplication."""
+    n = 0
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".manifest.json"):
+            continue
+        path = os.path.join(out_dir, name)
+        try:
+            with open(path) as f:
+                man = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            man = None
+        if man is not None and man.get("fingerprint") == fp:
+            continue
+        if man is not None and man.get("block"):
+            try:
+                os.remove(os.path.join(out_dir, man["block"]))
+            except FileNotFoundError:
+                pass
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+        n += 1
+    return n

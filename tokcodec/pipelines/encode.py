@@ -551,6 +551,9 @@ def encode_dataset(
     os.makedirs(out_dir, exist_ok=True)
     plan = plan_partitions(input_paths, target_tokens, token_col, columns, snap_frac=snap_frac)
     mf.atomic_write_json(os.path.join(out_dir, "plan.json"), plan)
+    # drop leftovers of a DIFFERENT plan over this out_dir (same-plan
+    # manifests survive untouched — that's the resume path)
+    mf.purge_stale(out_dir, plan["fingerprint"])
 
     specs = plan["partitions"]
     ds = ray.data.from_items(specs)
@@ -599,6 +602,25 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None, predicate=Non
     mans = mf.list_manifests(out_dir)
     if not mans:
         raise ValueError(f"no manifests under {out_dir}")
+    # Planned dirs carry plan.json: refuse to decode a dir whose blocks
+    # mix plan fingerprints (stale leftovers of an earlier run with a
+    # different plan would silently duplicate rows).  encode_dataset
+    # purges these; this guards hand-assembled or tampered dirs.  Sink
+    # dirs (TokbDatasink) have no plan.json/fingerprints and skip the
+    # check.
+    plan_path = os.path.join(out_dir, "plan.json")
+    if os.path.exists(plan_path):
+        import json as _json
+
+        with open(plan_path) as f:
+            expect_fp = _json.load(f)["fingerprint"]
+        stale = [m["block"] for m in mans if m.get("fingerprint") not in (None, expect_fp)]
+        if stale:
+            raise ValueError(
+                f"{out_dir} holds {len(stale)} block(s) from a different plan "
+                f"(e.g. {stale[0]}); re-run encode_dataset (which purges stale "
+                "blocks) or remove them before decoding"
+            )
     # 'pid' exists on planned-path manifests; TokbDatasink manifests are
     # positional — both layouts decode fine
     items = [
