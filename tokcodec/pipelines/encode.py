@@ -553,7 +553,7 @@ def encode_dataset(
     mf.atomic_write_json(os.path.join(out_dir, "plan.json"), plan)
     # drop leftovers of a DIFFERENT plan over this out_dir (same-plan
     # manifests survive untouched — that's the resume path)
-    mf.purge_stale(out_dir, plan["fingerprint"])
+    purged = mf.purge_stale(out_dir, plan["fingerprint"])
 
     specs = plan["partitions"]
     ds = ray.data.from_items(specs)
@@ -581,7 +581,7 @@ def encode_dataset(
             **kw,
         )
     metrics = out.take_all()  # small: one metrics row per partition
-    return {"plan": plan, "metrics": metrics, "out_dir": out_dir}
+    return {"plan": plan, "metrics": metrics, "out_dir": out_dir, "purged": purged}
 
 
 # ------------------------------------------------------------ decoding ----
