@@ -172,6 +172,8 @@ def test_int_vtop_roundtrip_and_guards():
         #   the decode writes nothing after the LUT gather (escape-free path)
         rng.integers(0, 30_000, 5000).astype(np.int16),     # sub-int32 dtypes through
         rng.integers(0, 100_000, 5000).astype(np.uint32),   #   the arrow take gather
+        rng.integers(0, 50_257, 40_000).astype(np.uint64),  # uint64: bincount needs
+        #   the int64 sample view (np.bincount rejects uint64 outright)
     ):
         e = _enc_vtop(a)
         assert e is not None

@@ -284,3 +284,20 @@ def test_mix_sources_partition_independent(ray_session):
         for r in sample.mix_sources(ray.data.from_arrow(t).repartition(2), rates).take_all()
     }
     assert a == b
+
+
+def test_mix_sources_oversample_rate_clamps_to_keep_all(ray_session):
+    # a group rate > 1.0 (an oversample weight) keeps the whole group,
+    # as the docstring promises — rate_threshold itself rejects > 1.0
+    t = _docs_table(n=1000, n_groups=3)
+    kept = {
+        r["doc_id"]
+        for r in sample.mix_sources(
+            _ds(t), {"g0": 1.2, "g1": 0.5}, key_col="doc_id"
+        ).take_all()
+    }
+    ids = t.column("doc_id").to_pylist()
+    srcs = t.column("source").to_pylist()
+    g0 = {i for i, s in zip(ids, srcs) if s == "g0"}
+    assert g0 <= kept  # every g0 row survives
+    assert not any(s == "g2" for i, s in zip(ids, srcs) if i in kept)

@@ -88,3 +88,24 @@ def test_sessionize_duplicate_timestamps_and_singletons():
     df = pd.concat(frames, ignore_index=True).sample(frac=1, random_state=1)
     df = df.reset_index(drop=True)
     pd.testing.assert_frame_equal(_run(df, 23), _ref(df))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_preserves_user_column_type():
+    import pyarrow as pa
+    import ray.data
+
+    # stitched edge rows are typed from the interior schema: an int32
+    # user column must not widen to int64 in the unioned edge table
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 2, 3] * 40, pa.int32()),
+            "ts": pa.array(
+                (np.arange(200) * 10_000_000).astype("int64"), pa.timestamp("us")
+            ),
+        }
+    )
+    out = sessionize(ray.data.from_arrow(t).repartition(5))
+    assert out.schema().base_schema.field("user_id").type == pa.int32()
+    df = out.to_pandas()
+    assert set(df["user_id"].tolist()) == {1, 2, 3}

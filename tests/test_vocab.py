@@ -96,3 +96,39 @@ def test_remap_rejects_null_lists(ray_session):
     new = np.array([2, 1, 0], dtype=np.int64)
     with pytest.raises(Exception):
         vocab.remap_column(ds, old, new, col="tokens").take_all()
+
+
+def test_token_frequencies_uint64_dense_branch(ray_session):
+    import ray.data
+
+    # uint64 values inside the dense-LUT span: np.bincount rejects uint64
+    # (not safely castable to intp), so the partial must view int64 first
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 3000, size=4000).astype(np.uint64)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.uint64())}))
+    freq = vocab.token_frequencies(ds, col="x").take_all()
+    got = {int(r["token"]): int(r["cnt"]) for r in freq}
+    uniq, counts = np.unique(vals, return_counts=True)
+    assert got == {int(u): int(c) for u, c in zip(uniq, counts)}
+
+
+def test_remap_preserves_list_value_type(ray_session):
+    import ray.data
+
+    # list<int64> values must come back as list<int64> — keying the
+    # rewritten width off the list's OFFSET type would narrow to int32
+    old = np.array([10, 20, 30], dtype=np.int64)
+    new = np.array([2, 1, 0], dtype=np.int64)
+    for list_ty, val_ty in [
+        (pa.list_(pa.int64()), pa.int64()),
+        (pa.list_(pa.int32()), pa.int32()),
+        (pa.large_list(pa.int32()), pa.int32()),
+    ]:
+        arr = pa.array([[10, 20], [30], [20, 20, 10]], list_ty)
+        ds = ray.data.from_arrow(pa.table({"tokens": arr}))
+        out = vocab.remap_column(ds, old, new, col="tokens")
+        got_ty = out.schema().base_schema.field("tokens").type
+        assert got_ty.value_type == val_ty
+        assert pa.types.is_large_list(got_ty) == pa.types.is_large_list(list_ty)
+        rows = [r["tokens"] for r in out.take_all()]
+        assert [list(map(int, r)) for r in rows] == [[2, 1], [0], [1, 1, 2]]

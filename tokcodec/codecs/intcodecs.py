@@ -315,6 +315,10 @@ def _enc_vtop(arr: np.ndarray) -> dict | None:
     if lo < 0 or hi >= _VRANK_MAX:
         return None
     samp = arr[:_VTOP_SAMPLE] if n > _VTOP_SAMPLE else arr
+    # bincount refuses uint64 (not safely castable to intp); values are
+    # already bounded by _VRANK_MAX, so an int64 view of the sample is safe
+    if samp.dtype == np.uint64:
+        samp = samp.astype(np.int64)
     cnt = np.bincount(samp, minlength=hi + 1)
     uniq = np.flatnonzero(cnt)
     if len(uniq) <= 1:

@@ -312,11 +312,12 @@ def embedding_near_dups(ds, tau: float = 0.95, n_planes: int = 10, seed: int = 5
     def chunk_dups(m: np.ndarray, ids: np.ndarray):
         sims = m @ m.T
         ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= tau
+        s = sims[ii, jj]  # gather the ~n^2/2 triangle once, reuse below
+        keep = s >= tau
         return (
             np.minimum(ids[ii[keep]], ids[jj[keep]]),
             np.maximum(ids[ii[keep]], ids[jj[keep]]),
-            np.round(sims[ii, jj][keep], 4),
+            np.round(s[keep], 4),
         )
 
     def bucket_dups(g: pa.Table) -> pa.Table:

@@ -340,8 +340,10 @@ def mix_sources(
     absent from `rates` fall to `default_rate` (0 = drop).  A group
     rate >= 1.0 keeps the whole group (its clamped threshold is the
     KEEP_ALL sentinel, compared inclusively)."""
-    thr = {g: np.uint64(rate_threshold(r)) for g, r in rates.items()}
-    thr_default = np.uint64(rate_threshold(default_rate))
+    # clamp oversample weights: any rate >= 1.0 is keep-all, as documented
+    # (rate_threshold itself rejects values outside [0, 1])
+    thr = {g: np.uint64(rate_threshold(min(r, 1.0))) for g, r in rates.items()}
+    thr_default = np.uint64(rate_threshold(min(default_rate, 1.0)))
     keep_all = np.uint64(KEEP_ALL)
 
     def keep(t: pa.Table) -> pa.Table:

@@ -232,9 +232,13 @@ def sessionize(
 
     interiors = sess.map_batches(renumber, batch_format="pyarrow")
     if finalized:
+        # type the stitched rows from the interior schema — inferring from
+        # python scalars would widen e.g. an int32 user column to int64 and
+        # union blocks with mismatched schemas
+        utype = sess.schema().base_schema.field("user_id").type
         edge_tbl = pa.table(
             {
-                "user_id": pa.array([r["user_id"] for r in finalized]),
+                "user_id": pa.array([r["user_id"] for r in finalized], utype),
                 "session_id": pa.array(
                     [r["session_id"] for r in finalized], pa.int64()
                 ),

@@ -68,20 +68,23 @@ def epoch_shuffle(
         # stitching relies on batch boundaries == block boundaries
     )
 
+    key_type = ds.schema().base_schema.field(key_col).type
+
     def block_info(t: pa.Table) -> pa.Table:
+        # id0 keeps the key's NATIVE type: the dataset sort tie-breaks on
+        # the native key, so a stringified tie-break would order a u64
+        # hash collision between two blocks' first rows differently
+        # (e.g. '10' < '9') and swap their base offsets
         if t.num_rows == 0:
             return pa.table(
                 {"k0": pa.array([], pa.uint64()),
-                 "id0": pa.array([], pa.string()),
+                 "id0": pa.array([], key_type),
                  "n": pa.array([], pa.int64())}
             )
         return pa.table(
             {
                 "k0": pa.array([t.column("_shuffle_key")[0].as_py()], pa.uint64()),
-                "id0": pa.array(
-                    [str(pc.cast(t.column(key_col), pa.string())[0].as_py())],
-                    pa.string(),
-                ),
+                "id0": t.column(key_col).combine_chunks().slice(0, 1),
                 "n": pa.array([t.num_rows], pa.int64()),
             }
         )
@@ -105,7 +108,7 @@ def epoch_shuffle(
             return t2.append_column(pos_col, pa.array([], pa.int64()))
         b = ray.get(bases_ref)
         k0 = t.column("_shuffle_key")[0].as_py()
-        id0 = str(pc.cast(t.column(key_col), pa.string())[0].as_py())
+        id0 = t.column(key_col)[0].as_py()
         base = b[(k0, id0)]
         pos = np.arange(base, base + t.num_rows, dtype=np.int64)
         return t2.append_column(pos_col, pa.array(pos, pa.int64()))

@@ -60,8 +60,10 @@ def token_frequencies(ds, col: str = "tokens"):
             )
         lo, hi = int(vals.min()), int(vals.max())
         if 0 <= lo and hi < _DENSE_MAX_SPAN:
-            # token-shaped block: O(n) bincount beats np.unique's sort
-            c = np.bincount(vals)
+            # token-shaped block: O(n) bincount beats np.unique's sort.
+            # bincount refuses uint64 (not safely castable to intp);
+            # values are bounded by _DENSE_MAX_SPAN so int64 is lossless.
+            c = np.bincount(vals.astype(np.int64) if vals.dtype == np.uint64 else vals)
             uniq = np.flatnonzero(c)
             counts = c[uniq]
         else:
@@ -174,7 +176,10 @@ class _Remapper:
             if col.null_count:
                 raise ValueError("remap_column: null lists unsupported")
             new_vals = self.map_values(np.asarray(col.values))
-            width = np.int32 if pa.types.is_list(col.type) else np.int64
+            # preserve the input VALUE type (ranks always fit: < 2^22);
+            # keying this off the list kind would rewrite list<int64>
+            # values as int32 and large_list<int32> as int64
+            width = col.type.value_type.to_pandas_dtype()
             arr = type(col).from_arrays(
                 col.offsets,
                 pa.array(new_vals.astype(width, copy=False)),
