@@ -442,3 +442,60 @@ def test_rp_row_aware_block_override(monkeypatch, tmp_path):
     captured.clear()
     q._rp(str(tmp_path), "big")
     assert "override_num_blocks" not in captured
+
+
+def test_decode_refuses_incomplete_encode(encoded, tmp_path):
+    """An interrupted encode (manifest missing for a planned pid) must not
+    silently decode to a partial dataset."""
+    src, shared_out, _ = encoded
+    out = str(tmp_path / "partial")
+    shutil.copytree(shared_out, out)
+    victims = [f for f in sorted(os.listdir(out)) if f.endswith(".manifest.json")]
+    os.remove(os.path.join(out, victims[-1]))
+    with pytest.raises(ValueError, match="incomplete encode"):
+        decode_dataset(out)
+    # explicit opt-in decodes what exists
+    n = decode_dataset(out, allow_partial=True).count()
+    total = pq.read_table(src).num_rows
+    assert 0 < n < total
+
+
+def test_decode_refuses_fingerprintless_manifest(encoded, tmp_path):
+    """A sink-style manifest (no fingerprint) copied into a planned dir is
+    a foreign block, not a pass — strict match."""
+    import json
+
+    src, shared_out, _ = encoded
+    out = str(tmp_path / "mixed")
+    shutil.copytree(shared_out, out)
+    man = json.load(open(os.path.join(out, "part-00000.manifest.json")))
+    man.pop("fingerprint", None)
+    man.update(pid=998, block="part-00998.tokb")
+    shutil.copy(
+        os.path.join(out, "part-00000.tokb"), os.path.join(out, "part-00998.tokb")
+    )
+    with open(os.path.join(out, "part-00998.manifest.json"), "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="different plan"):
+        decode_dataset(out)
+
+
+def test_purge_sweeps_orphan_blocks_and_tmps(encoded, tmp_path):
+    """Crashed atomic writes leave part-*.tokb without a manifest and
+    *.tmp leftovers; a re-encode over the dir must sweep both."""
+    src, shared_out, _ = encoded
+    out = str(tmp_path / "orphans")
+    shutil.copytree(shared_out, out)
+    # orphan block (no manifest) + tmp leftover of a crashed write
+    shutil.copy(
+        os.path.join(out, "part-00000.tokb"), os.path.join(out, "part-00997.tokb")
+    )
+    with open(os.path.join(out, "part-00996.tokb.tmp"), "wb") as f:
+        f.write(b"half-written")
+    res = encode_dataset(src, out, target_tokens=TARGET)
+    assert all(m["resumed"] for m in res["metrics"])  # same plan: pure resume
+    names = set(os.listdir(out))
+    assert "part-00997.tokb" not in names
+    assert "part-00996.tokb.tmp" not in names
+    n_rows = pq.read_table(src).num_rows
+    assert decode_dataset(out).count() == n_rows

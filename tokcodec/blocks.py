@@ -556,11 +556,14 @@ def decode_table(blob: bytes, columns: list[str] | None = None) -> tuple[pa.Tabl
     base = len(MAGIC) + 8 + hlen
     segs = header["segments"]
 
-    def get_seg(i: int) -> bytes:
+    mv = memoryview(blob)  # zero-copy segment views; only compressed
+    # segments materialize new bytes (the decompressed buffer)
+
+    def get_seg(i: int):
         s = segs[i]
-        raw = blob[base + s["o"] : base + s["o"] + s["l"]]
+        raw = mv[base + s["o"] : base + s["o"] + s["l"]]
         if s["raw"]:
-            raw = _zstd_lazy.get().decompress(raw, decompressed_size=s["raw"], asbytes=True)
+            return _zstd_lazy.get().decompress(raw, decompressed_size=s["raw"], asbytes=True)
         return raw
 
     schema = pa.ipc.read_schema(

@@ -77,10 +77,14 @@ def write_partition(
 
 
 def load_manifest(out_dir: str, pid: int) -> dict | None:
+    # OSError (not just FileNotFoundError) → None: an unreadable manifest
+    # (EIO, permissions, a directory squatting on the name) means
+    # "re-encode this partition", not "kill the whole resume run" —
+    # purge_stale treats the identical read the same way
     try:
         with open(manifest_path(out_dir, pid)) as f:
             return json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
+    except (OSError, json.JSONDecodeError):
         return None
 
 
@@ -120,9 +124,15 @@ def purge_stale(out_dir: str, fp: str) -> int:
     Unreadable (half-written) manifests are removed too.  Returns the
     number of partitions purged.  Concurrent encodes of different plans
     into one out_dir were never supported; with the purge the outcome
-    is last-writer-wins instead of silent row duplication."""
+    is last-writer-wins instead of silent row duplication.  Orphans are
+    swept too: ``*.tmp`` leftovers of crashed atomic writes, and
+    ``part-*.tokb`` blocks with no surviving same-plan manifest (a crash
+    between the block write and the manifest write) — without this a
+    100 TB out_dir leaks disk forever."""
     n = 0
-    for name in sorted(os.listdir(out_dir)):
+    names = sorted(os.listdir(out_dir))
+    kept_blocks: set[str] = set()
+    for name in names:
         if not name.endswith(".manifest.json"):
             continue
         path = os.path.join(out_dir, name)
@@ -132,6 +142,8 @@ def purge_stale(out_dir: str, fp: str) -> int:
         except (json.JSONDecodeError, OSError):
             man = None
         if man is not None and man.get("fingerprint") == fp:
+            if man.get("block"):
+                kept_blocks.add(man["block"])
             continue
         if man is not None and man.get("block"):
             try:
@@ -143,4 +155,13 @@ def purge_stale(out_dir: str, fp: str) -> int:
         except FileNotFoundError:
             pass
         n += 1
+    for name in names:
+        orphan = name.endswith(".tmp") or (
+            name.endswith(".tokb") and name not in kept_blocks
+        )
+        if orphan:
+            try:
+                os.remove(os.path.join(out_dir, name))
+            except FileNotFoundError:
+                pass
     return n

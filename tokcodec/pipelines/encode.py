@@ -478,7 +478,10 @@ class EncodeWorker:
         pid = int(spec["pid"])
         if mf.is_complete(self.out_dir, pid, self.fp):
             man = mf.load_manifest(self.out_dir, pid)
-            m = {k: man["metrics"][k] for k in _METRIC_KEYS}
+            # .get: a complete manifest from an older metrics layout must
+            # resume, not KeyError the run (the plan fingerprint covers
+            # config, not code version)
+            m = {k: man["metrics"].get(k) for k in _METRIC_KEYS}
             m["resumed"] = True
             return m
         t0 = time.monotonic()
@@ -572,6 +575,10 @@ def encode_dataset(
             **kw,
         )
     else:
+        if concurrency is not None:
+            # honor the cap on the tasks path too (bounds memory / storage
+            # pressure); without this only compute="actors" respected it
+            kw["concurrency"] = concurrency
         out = ds.map_batches(
             _encode_specs,
             fn_kwargs={
@@ -587,7 +594,12 @@ def encode_dataset(
 # ------------------------------------------------------------ decoding ----
 
 
-def decode_dataset(out_dir: str, columns: list[str] | None = None, predicate=None):
+def decode_dataset(
+    out_dir: str,
+    columns: list[str] | None = None,
+    predicate=None,
+    allow_partial: bool = False,
+):
     """Encoded dir → ray.data.Dataset of decoded rows (streaming: one
     block decodes per task; nothing materializes on the driver).
 
@@ -613,13 +625,28 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None, predicate=Non
         import json as _json
 
         with open(plan_path) as f:
-            expect_fp = _json.load(f)["fingerprint"]
-        stale = [m["block"] for m in mans if m.get("fingerprint") not in (None, expect_fp)]
+            plan = _json.load(f)
+        expect_fp = plan["fingerprint"]
+        # STRICT match: a fingerprint-less manifest in a planned dir is a
+        # foreign block (e.g. a sink manifest copied in), the exact silent
+        # row-duplication case this guard exists for — purge_stale treats
+        # missing fingerprints as stale for the same reason
+        stale = [m["block"] for m in mans if m.get("fingerprint") != expect_fp]
         if stale:
             raise ValueError(
                 f"{out_dir} holds {len(stale)} block(s) from a different plan "
                 f"(e.g. {stale[0]}); re-run encode_dataset (which purges stale "
                 "blocks) or remove them before decoding"
+            )
+        missing = {int(p["pid"]) for p in plan.get("partitions", [])} - {
+            int(m["pid"]) for m in mans if "pid" in m
+        }
+        if missing and not allow_partial:
+            raise ValueError(
+                f"{out_dir} is an incomplete encode: {len(missing)} of "
+                f"{len(plan.get('partitions', []))} planned partition(s) have no "
+                f"manifest (e.g. pid {sorted(missing)[0]}); resume encode_dataset "
+                "to finish it, or pass allow_partial=True to decode what exists"
             )
     # 'pid' exists on planned-path manifests; TokbDatasink manifests are
     # positional — both layouts decode fine
