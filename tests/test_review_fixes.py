@@ -87,3 +87,162 @@ def test_brute_force_handles_empty_blocks(ray_session):
     rows = brute_force_topk(ds, m[:1].astype(np.float64), k=3)
     assert {r["vec_id"] for r in rows} <= set(range(5))
     assert any(r["vec_id"] == 0 for r in rows)
+
+
+# ---- round-4 audit: schema/predicate/projection/reader/sink guards ----
+
+
+def test_validate_table_rejects_type_and_repetition_mismatch():
+    import pyarrow as pa
+    import pytest
+
+    from tokcodec.schema import Schema, Type
+
+    sch = (
+        Schema.new_builder("t")
+        .required("x", Type.INT64)
+        .repeated("toks", Type.INT64)
+        .build()
+    )
+    # a list column for a required field = >1 value per row
+    bad_rep = pa.table(
+        {"x": pa.array([[1, 2, 3], [4]], pa.list_(pa.int64())),
+         "toks": pa.array([[1], [2]], pa.list_(pa.int64()))}
+    )
+    with pytest.raises(ValueError, match="one value per row"):
+        sch.validate_table(bad_rep)
+    # a string column for an INT64 field
+    bad_ty = pa.table(
+        {"x": pa.array(["a", "b"]),
+         "toks": pa.array([[1], [2]], pa.list_(pa.int64()))}
+    )
+    with pytest.raises(ValueError, match="expects INT64"):
+        sch.validate_table(bad_ty)
+    # repeated value-type mismatch
+    bad_vals = pa.table(
+        {"x": pa.array([1, 2], pa.int64()),
+         "toks": pa.array([["a"], ["b"]], pa.list_(pa.string()))}
+    )
+    with pytest.raises(ValueError, match="INT64 values"):
+        sch.validate_table(bad_vals)
+    # widened-but-compatible dtypes still pass (int32 under INT64)
+    ok = pa.table(
+        {"x": pa.array([1, 2], pa.int32()),
+         "toks": pa.array([[1], [2]], pa.list_(pa.int32()))}
+    )
+    sch.validate_table(ok)
+
+
+def test_projection_full_column_absorbs_dotted_sibling():
+    import pyarrow as pa
+
+    from tokcodec.projection import Projection, project_schema
+
+    schema = pa.schema(
+        [
+            pa.field("a", pa.struct([pa.field("x", pa.int64()), pa.field("y", pa.int64())])),
+            pa.field("k", pa.int64()),
+        ]
+    )
+    for order in (["a", "a.x", "k"], ["a.x", "a", "k"]):
+        out = project_schema(schema, order)
+        assert out.field("a").type.num_fields == 2  # full 'a' wins
+    t = pa.table(
+        {
+            "a": pa.array([{"x": 1, "y": 2}], pa.struct([("x", pa.int64()), ("y", pa.int64())])),
+            "k": pa.array([3], pa.int64()),
+        }
+    )
+    got = Projection(["a", "a.x"]).project_table(t)
+    assert got.column("a").type.num_fields == 2
+
+
+def test_pruned_and_decoded_blocks_union_with_dotted_and_full(tmp_path):
+    import pyarrow as pa
+
+    from tokcodec.blocks import decode_file, encode_table
+    from tokcodec.manifest import atomic_write_bytes
+    from tokcodec.predicate import col
+
+    st = pa.struct([("x", pa.int64()), ("y", pa.int64())])
+    lo = pa.table({"a": pa.array([{"x": 1, "y": 2}] * 8, st), "k": pa.array([1] * 8, pa.int64())})
+    hi = pa.table({"a": pa.array([{"x": 9, "y": 9}] * 8, st), "k": pa.array([99] * 8, pa.int64())})
+    p1, p2 = str(tmp_path / "b1.tokb"), str(tmp_path / "b2.tokb")
+    atomic_write_bytes(p1, encode_table(lo))
+    atomic_write_bytes(p2, encode_table(hi))
+    pred = col("k") < 50  # zone maps prune b2 entirely
+    cols = ["a", "a.x", "k"]
+    t1, _ = decode_file(p1, columns=cols, predicate=pred)
+    t2, _ = decode_file(p2, columns=cols, predicate=pred)
+    merged = pa.concat_tables([t1, t2])  # schemas must agree pruned-vs-decoded
+    assert merged.num_rows == 8
+    assert merged.column("a").type.num_fields == 2
+
+
+def test_expr_refuses_python_boolean_ops():
+    import pytest
+
+    from tokcodec.predicate import col
+
+    with pytest.raises(TypeError, match="not truthy"):
+        bool((col("a") > 1) and (col("b") > 2))
+    with pytest.raises(TypeError, match="not truthy"):
+        if col("a") > 1:
+            pass
+
+
+def test_read_parquet_filtered_widens_projection(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokcodec.predicate import col, read_parquet_filtered
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"a": pa.array(range(100)), "b": pa.array(range(100))}), p
+    )
+    ds = read_parquet_filtered(p, col("b") > 90, columns=["a"])
+    rows = ds.take_all()
+    assert sorted(r["a"] for r in rows) == list(range(91, 100))
+    assert all(set(r) == {"a"} for r in rows)  # 'b' re-projected away
+
+
+def test_scanned_narrow_ints_roundtrip_through_schema():
+    import pyarrow as pa
+
+    from tokcodec.scanner import scan_table
+    from tokcodec.schema import Schema
+
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int8()), "u": pa.array([1, 2, 3], pa.uint32())})
+    inferred = scan_table(t)
+    assert {f.name for f in inferred.fields} == {"x", "u"}
+    # the same table must be readable under its own from_arrow schema —
+    # previously int8/uint32 raised "Only primitive fields are supported"
+    own = Schema.from_arrow(t.schema)
+    out = own.read_table(t)
+    assert out.column("x").type == pa.int64()
+    assert out.column("u").type == pa.int64()
+
+
+def test_read_tokb_applies_manifest_guards(ray_session, tmp_path, fixture_parquet):
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    from tokcodec.pipelines import encode_dataset
+    from tokcodec.sources.sink import read_tokb
+
+    out = str(tmp_path / "enc")
+    encode_dataset(fixture_parquet, out, target_tokens=1_000_000)
+    n = read_tokb(out).count()
+    assert n > 0
+    # foreign-fingerprint block: read_tokb must refuse like decode_dataset
+    man = json.load(open(os.path.join(out, "part-00000.manifest.json")))
+    man.update(fingerprint="deadbeef", pid=999, block="part-00999.tokb")
+    shutil.copy(os.path.join(out, "part-00000.tokb"), os.path.join(out, "part-00999.tokb"))
+    with open(os.path.join(out, "part-00999.manifest.json"), "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="different plan"):
+        read_tokb(out)

@@ -61,6 +61,14 @@ def _always_true(_stats: dict) -> bool:
 class Expr:
     """Boolean expression node; combine with & | ~."""
 
+    def __bool__(self):
+        # `p and q` would silently evaluate to just `q`, dropping the first
+        # condition — same trap pandas/pyarrow expressions guard against
+        raise TypeError(
+            "predicate expressions are not truthy: combine with & | ~ "
+            "(not `and`/`or`/`not`), compare with `is None` for absence"
+        )
+
     def __init__(
         self,
         to_ds: Callable[[], pads.Expression],
@@ -317,5 +325,21 @@ def read_parquet_filtered(paths, expr: Expr | None = None, columns=None, **kw):
 
     if expr is None:
         return ray.data.read_parquet(paths, columns=columns, **kw)
-    ds = ray.data.read_parquet(paths, columns=columns, filter=expr.dataset_filter(), **kw)
+    read_cols = columns
+    extra: list[str] = []
+    if columns is not None:
+        # widen the scan by the predicate's columns so the residual filter
+        # can resolve them, then re-project — without this a predicate on
+        # an unselected column KeyErrors in the residual pass
+        extra = sorted(set(expr.columns) - set(columns))
+        if extra:
+            read_cols = list(columns) + extra
+    ds = ray.data.read_parquet(paths, columns=read_cols, filter=expr.dataset_filter(), **kw)
+    if extra:
+        keep = list(columns)
+        return ds.map_batches(
+            lambda t: expr.filter_table(t).select(keep),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     return ds.map_batches(expr.filter_table, batch_format="pyarrow", zero_copy_batch=True)

@@ -50,14 +50,27 @@ def resolve_path(schema_or_type, dotted: str) -> pa.DataType:
 def project_schema(schema: pa.Schema, fields: list[str]) -> pa.Schema:
     """Pruned nested schema from dotted paths, preserving declaration
     order and nesting (Projection.scala:53-107 semantics)."""
+    # full-request absorb (same semantics as blocks._column_tree): a whole
+    # column ("a") absorbs any dotted sibling ("a.x") in either order —
+    # value None marks "keep the whole subtree".  Without this, zone-pruned
+    # empty blocks (schema'd here) and decoded blocks (pruned by
+    # _column_tree) disagree on struct width and concat_tables fails.
     tree: dict = {}
+
+    def insert(node: dict, name: str, rest: list[str]) -> None:
+        if not rest:
+            node[name] = None
+            return
+        if name in node and node[name] is None:
+            return
+        insert(node.setdefault(name, {}), rest[0], rest[1:])
+
     for f in fields:
         resolve_path(schema, f)  # validate + fail fast
-        node = tree
-        for part in f.split("."):
-            node = node.setdefault(part, {})
+        parts = f.split(".")
+        insert(tree, parts[0], parts[1:])
 
-    def prune_type(t: pa.DataType, node: dict) -> pa.DataType:
+    def prune_type(t: pa.DataType, node: dict | None) -> pa.DataType:
         if not node:
             return t
         if pa.types.is_list(t):

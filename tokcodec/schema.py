@@ -54,6 +54,12 @@ _ARROW_TO_TYPE = {
     pa.string(): Type.BYTES,
     pa.large_string(): Type.BYTES,
     pa.large_binary(): Type.BYTES,
+    # narrow ints the scanner (scanner._TYPE_MAP) accepts must round-trip
+    # through Schema.from_arrow too, or infer-then-read breaks on the very
+    # data the schema was inferred from
+    pa.int8(): Type.INT64,
+    pa.int16(): Type.INT64,
+    pa.uint32(): Type.INT64,
 }
 
 
@@ -213,7 +219,25 @@ class Schema:
             if f.repetition is Repetition.REPEATED:
                 if not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
                     raise ValueError(f"Repeated field {f.name} must be a list column")
+                vt = arr.type.value_type
+                if _ARROW_TO_TYPE.get(vt) is not f.type:
+                    raise ValueError(
+                        f"Repeated field {f.name} expects {f.type.name} values, "
+                        f"got list<{vt}>"
+                    )
             else:
+                # a list column for a non-repeated field is a repetition
+                # violation (>1 value per row), not just a type mismatch —
+                # the reference rejects this at write via checkSize
+                if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+                    raise ValueError(
+                        f"{f.repetition.value} field {f.name} must hold one "
+                        f"value per row, got a list column"
+                    )
+                if _ARROW_TO_TYPE.get(arr.type) is not f.type:
+                    raise ValueError(
+                        f"Field {f.name} expects {f.type.name}, got {arr.type}"
+                    )
                 counts = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(np.int64)
                 f.repetition.check_counts(counts, f.name)
 

@@ -45,22 +45,15 @@ class TokbReader:
         import os
 
         from tokcodec import manifest as mf
-        from tokcodec.blocks import read_header
+        from tokcodec.blocks import header_schema, read_header_file
 
         mans = mf.list_manifests(self.out_dir)
         if not mans:
             raise ValueError(f"no manifests under {self.out_dir}")
-        # footer-style metadata read: header only, no row decode (§2 #15)
-        from tokcodec.blocks import MAGIC
-
-        with open(os.path.join(self.out_dir, mans[0]["block"]), "rb") as f:
-            prefix = f.read(len(MAGIC) + 8)
-            hlen = int.from_bytes(prefix[len(MAGIC) :], "little")
-            header = read_header(prefix + f.read(hlen))
-        import base64
-
-        arrow = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(header["schema"])))
-        return Schema.from_arrow(arrow)
+        # footer-style metadata read: header only, no row decode (§2 #15);
+        # container-format knowledge stays in blocks.py
+        header = read_header_file(os.path.join(self.out_dir, mans[0]["block"]))
+        return Schema.from_arrow(header_schema(header))
 
     def resolve_schema(self) -> tuple[Schema, Schema]:
         """→ (file_schema, read_schema) after precedence + validation."""
@@ -98,9 +91,14 @@ class TokbReader:
         file_schema, read_schema = self.resolve_schema()
         file_names = {f.name for f in file_schema.fields}
         wanted = [f.name for f in read_schema.fields if f.name in file_names]
+        if not wanted:
+            # every read field is absent from the file (all materialize as
+            # nulls/empty lists): decode ONE carrier column for the row
+            # count instead of falling back to a full-table decode
+            wanted = [file_schema.fields[0].name]
         ds = decode_dataset(
             self.out_dir,
-            columns=wanted or None,
+            columns=wanted,
             predicate=getattr(self, "_predicate", None),
         )
         return ds.map_batches(

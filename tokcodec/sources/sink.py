@@ -90,10 +90,22 @@ class TokbDatasink(Datasink):
 def read_tokb(out_dir: str, columns: list[str] | None = None, predicate=None):
     """Dataset over a TokbDatasink/encode_dataset output dir (streaming
     decode; one task per block file).  `predicate` enables zone-map
-    block skipping + residual filtering (see blocks.decode_file)."""
+    block skipping + residual filtering (see blocks.decode_file).
+
+    Delegates to decode_dataset when the dir carries manifests, so the
+    stale-plan / completeness guards apply here too — a raw *.tokb scan
+    would silently concatenate leftover blocks from an earlier plan (the
+    exact row-duplication case the manifest guard exists for).  Dirs
+    without manifests (hand-assembled blocks) fall back to the raw scan."""
     import ray.data
 
+    from tokcodec import manifest as mf
     from tokcodec.blocks import decode_file
+
+    if mf.list_manifests(out_dir):
+        from tokcodec.pipelines.encode import decode_dataset
+
+        return decode_dataset(out_dir, columns=columns, predicate=predicate)
 
     names = sorted(
         n for n in os.listdir(out_dir) if n.endswith(".tokb")
