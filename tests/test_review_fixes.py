@@ -246,3 +246,100 @@ def test_read_tokb_applies_manifest_guards(ray_session, tmp_path, fixture_parque
         json.dump(man, f)
     with pytest.raises(ValueError, match="different plan"):
         read_tokb(out)
+
+
+# ---- round-4 audit, third pass: pack purge, sketch, quantiles, cli ----
+
+
+def test_pack_replan_purges_stale_partitions(ray_session, fixture_parquet, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tokcodec.pipelines.pack import pack_dataset, read_packed
+
+    out = str(tmp_path / "pack")
+    r1 = pack_dataset(fixture_parquet, out, seq_len=2048, target_tokens=300_000)
+    n1 = len(r1["metrics"])
+    # re-plan with far fewer partitions: old pids must be swept
+    r2 = pack_dataset(fixture_parquet, out, seq_len=2048, target_tokens=3_000_000)
+    n2 = len(r2["metrics"])
+    assert n2 < n1 and r2["purged"] >= n1 - n2
+    chunk_files = [f for f in os.listdir(os.path.join(out, "chunks")) if f.startswith("part-")]
+    assert len(chunk_files) == n2
+    packed = read_packed(out).to_pandas()
+    # chunk ids unique and token mass conserved
+    assert packed["chunk_id"].is_unique
+    assert int(packed["n_tok"].sum()) == r2["n_tokens"]
+
+
+def test_hll_uint64_and_float_columns(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tokcodec.functions.sketch import hll_count_distinct
+
+    rng = np.random.default_rng(5)
+    # uint64 with values >= 2^63 (hash-shaped) — previously ArrowInvalid
+    u = rng.integers(0, 2**63, 5000, dtype=np.uint64) + np.uint64(2**63)
+    u[: 2500] = u[2500:]  # 2500 distinct
+    ds = ray.data.from_arrow(pa.table({"h": pa.array(u, pa.uint64())}))
+    est = hll_count_distinct(ds, "h")
+    assert 0.85 * 2500 <= est <= 1.15 * 2500
+    f = rng.standard_normal(3000)
+    f[:1500] = f[1500:]
+    dsf = ray.data.from_arrow(pa.table({"x": pa.array(f, pa.float64())}))
+    estf = hll_count_distinct(dsf, "x")
+    assert 0.85 * 1500 <= estf <= 1.15 * 1500
+
+
+def test_grouped_quantiles_exclude_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from tokcodec.functions.quantile import grouped_quantiles_disc
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 4 + ["b"] * 3),
+            "v": pa.array([1.0, None, 3.0, float("nan"), 5.0, 7.0, None]),
+        }
+    )
+    out = grouped_quantiles_disc(ray.data.from_arrow(t), "g", "v", [1.0]).to_pandas()
+    got = dict(zip(out["g"], out["v"]))
+    # q=1.0 over non-null values: a -> 3.0 (not NaN-shifted), b -> 7.0
+    assert got["a"] == 3.0 and got["b"] == 7.0
+
+
+def test_band_join_rejects_inverted_bounds(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from tokcodec.functions.joins import band_join_count
+
+    t = pa.table({"k": pa.array([1]), "ts": pa.array([10], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="empty band"):
+        band_join_count(ds, ds, "k", "k", "ts", "ts", ["k"], 0, -10)
+
+
+def test_cli_verify_input_override(ray_session, fixture_parquet, tmp_path, capsys):
+    import json
+    import os
+    import shutil
+
+    from tokcodec.cli import main
+
+    out = str(tmp_path / "enc")
+    assert main(["encode", "--input", fixture_parquet, "--out", out,
+                 "--target-tokens", "1000000"]) == 0
+    capsys.readouterr()
+    # relocate the source; --input re-roots the recorded path
+    moved = tmp_path / "moved"
+    moved.mkdir()
+    shutil.copy(fixture_parquet, moved / os.path.basename(fixture_parquet))
+    assert main(["verify", "--encoded", out, "--input", str(moved)]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["bit_identical"] is True

@@ -3,7 +3,7 @@
     python -m tokcodec.cli encode  --input DIR_OR_FILE --out DIR
         [--target-tokens N] [--columns a,b,c] [--no-zstd] [--num-cpus N]
     python -m tokcodec.cli decode  --input ENC_DIR --out PARQUET_DIR
-    python -m tokcodec.cli verify  --input SRC --encoded ENC_DIR [--key doc_id]
+    python -m tokcodec.cli verify  --encoded ENC_DIR [--input SRC_OVERRIDE]
     python -m tokcodec.cli plan    --input DIR_OR_FILE [--target-tokens N]
     python -m tokcodec.cli synth   --out FILE --rows N [--seed S]
 
@@ -140,20 +140,27 @@ def cmd_verify(args) -> int:
     _init_ray(args.num_cpus)
     import ray
 
+    src_override = getattr(args, "input", None)
+
     @ray.remote(num_cpus=1)
     def check(out_dir: str, man: dict) -> dict:
+        from tokcodec.pipelines.encode import _read_rows
+
         with open(os.path.join(out_dir, man["block"]), "rb") as f:
             dec, meta = decode_table(f.read())
         lin = man["lineage"]
-        src = pq.ParquetFile(lin["file"])
-        offs = [0]
-        md = src.metadata
-        for i in range(md.num_row_groups):
-            offs.append(offs[-1] + md.row_group(i).num_rows)
-        rgs = [i for i in range(md.num_row_groups)
-               if offs[i + 1] > lin["row_start"] and offs[i] < lin["row_end"]]
-        ref = src.read_row_groups(rgs, columns=dec.column_names, use_threads=False)
-        ref = ref.slice(lin["row_start"] - offs[rgs[0]], lin["row_end"] - lin["row_start"])
+        # --input overrides the absolute path recorded at encode time
+        # (verifying a relocated source: a file replaces it directly, a
+        # directory re-roots the recorded basename); _read_rows carries
+        # the empty-row-range guard this inline copy used to lack
+        src = lin["file"]
+        if src_override:
+            src = (
+                src_override
+                if os.path.isfile(src_override)
+                else os.path.join(src_override, os.path.basename(src))
+            )
+        ref = _read_rows(src, lin["row_start"], lin["row_end"], dec.column_names)
         return {
             "pid": man["pid"],
             "ok": tables_bit_identical(dec, ref),

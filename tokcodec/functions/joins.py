@@ -265,6 +265,13 @@ def band_join_count(
     most 2×).  Every candidate (left, right) pair lands in exactly one
     group — the left's own bucket — so counts are exact, no merge phase
     needed; output is identical to the unsalted plan."""
+    if hi_offset_us < lo_offset_us:
+        # fail fast with a clear error: the unsalted path would silently
+        # return empty while the salted path crashes in np.repeat
+        raise ValueError(
+            f"empty band: hi_offset_us ({hi_offset_us}) < lo_offset_us "
+            f"({lo_offset_us})"
+        )
     tagged, types = _tag_sides(
         left, right, left_key, right_key, left_ts, right_ts, left_cols
     )

@@ -18,7 +18,7 @@ from fractions import Fraction
 import numpy as np
 import pyarrow as pa
 
-from tokcodec.functions.sample import key_hash_u64, rate_threshold
+from tokcodec.functions.sample import KEEP_ALL, key_hash_u64, rate_threshold
 
 _BINS = 4096
 _MAX_GATHER = 65536
@@ -158,6 +158,15 @@ def grouped_quantiles_disc(ds, group_col: str, column: str, qs: list[float]) -> 
         col = batch.column(column)
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         v = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        # exclude nulls (NaN after to_numpy) and NaN values EVERYWHERE —
+        # the base count would otherwise include them while the histogram
+        # range filters drop them, shifting ranks or indexing out of
+        # bounds; DuckDB quantile_disc excludes NULLs the same way
+        bad = np.isnan(v)
+        if bad.any():
+            keep = ~bad
+            g = g.filter(pa.array(keep))
+            v = v[keep]
         return g, v
 
     # base pass: per-group n / lo / hi
@@ -207,10 +216,13 @@ def grouped_quantiles_disc(ds, group_col: str, column: str, qs: list[float]) -> 
         def hist_partial(batch: pa.Table) -> pa.Table:
             g, v = _group_values(batch)
             garr = g.to_numpy(zero_copy_only=False)  # native-typed compare
+            masks: dict = {}  # group -> mask, shared across its q keys
             out_k, out_c = [], []
             for ki, k in enumerate(keys):
                 e = edges_of[k]
-                m = garr == k[0]
+                m = masks.get(k[0])
+                if m is None:
+                    m = masks[k[0]] = garr == k[0]
                 vals = v[m]
                 vals = vals[(vals >= e[0]) & (vals <= e[-1])]
                 counts, _ = np.histogram(vals, bins=e)
@@ -232,10 +244,13 @@ def grouped_quantiles_disc(ds, group_col: str, column: str, qs: list[float]) -> 
         def gather(batch: pa.Table) -> pa.Table:
             g, v = _group_values(batch)
             garr = g.to_numpy(zero_copy_only=False)  # native-typed compare
+            masks: dict = {}  # group -> mask, shared across its q keys
             ks, vs = [], []
             for ki, k in enumerate(keys):
                 _rank, lo, hi, last = windows[k]
-                m = garr == k[0]
+                m = masks.get(k[0])
+                if m is None:
+                    m = masks[k[0]] = garr == k[0]
                 vals = v[m]
                 vals = vals[(vals >= lo) & ((vals <= hi) if last else (vals < hi))]
                 ks.extend([ki] * len(vals))
@@ -308,8 +323,13 @@ def approx_quantiles_disc(
     thr = np.uint64(rate_threshold(rate))
 
     def keep(batch: pa.Table) -> pa.Table:
-        u = key_hash_u64(batch.column(key_col), method)
-        sub = batch.filter(pa.array(u < thr))
+        # rate_threshold's contract: the clamped max is a keep-all
+        # sentinel (rate=1.0 must not drop a row hashing to 2^64-1)
+        if int(thr) == KEEP_ALL:
+            sub = batch
+        else:
+            u = key_hash_u64(batch.column(key_col), method)
+            sub = batch.filter(pa.array(u < thr))
         return pa.table({"v": pa.array(_col_values(sub, column), pa.float64())})
 
     rows = ds.map_batches(keep, batch_format="pyarrow").take_all()

@@ -71,8 +71,19 @@ def hll_count_distinct(ds, column: str, p: int = 12) -> float:
         if col.null_count:
             col = pc.drop_null(col)
         if pa.types.is_integer(col.type):
-            vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-            h = _mix64(vals.astype(np.int64, copy=False).view(np.uint64))
+            # bit-view, never cast: uint64 hash columns hold values >=
+            # 2^63 that an int64 cast rejects (ArrowInvalid); identical
+            # int values hash identically either way
+            vals = col.to_numpy(zero_copy_only=False)
+            if vals.dtype == np.uint64:
+                h = _mix64(vals)
+            else:
+                h = _mix64(vals.astype(np.int64, copy=False).view(np.uint64))
+        elif pa.types.is_floating(col.type):
+            # float columns: hash the float64 bit pattern (distinctness
+            # of the value, not of a lossy int cast)
+            vals = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            h = _mix64(vals.view(np.uint64))
         else:
             h = _mix64(fnv1a_batch(col))
         regs = _batch_registers(h, p)

@@ -319,6 +319,7 @@ def pack_dataset(
     mf.atomic_write_json(os.path.join(out_dir, "plan.json"), {**plan, "seq_len": seq_len})
 
     specs = plan["partitions"]
+    purged = _purge_stale_pack(out_dir, fp, len(specs))
     bases = np.concatenate(([0], np.cumsum([s["n_tok"] for s in specs]))).astype(np.int64)
     items = [{"spec": s, "base": int(bases[i])} for i, s in enumerate(specs)]
 
@@ -348,7 +349,68 @@ def pack_dataset(
         "n_chunks": -(-total_tok // seq_len) if total_tok else 0,
         "n_stitched": n_stitched,
         "n_tokens": total_tok,
+        "purged": purged,
     }
+
+
+def _purge_stale_pack(out_dir: str, fp: str, n_specs: int) -> int:
+    """Remove chunk/fragment/state files left by an earlier run with a
+    DIFFERENT plan over this out_dir (encode_dataset's purge_stale analog
+    — without it _merge_fragments globs stale fragments and read_packed
+    reads stale chunk files, silently merging two plans' rows).  A file
+    survives iff its state marker matches `fp` AND its pid is inside the
+    current plan.  ``*.tmp`` leftovers of crashed writes are swept too.
+    Returns the number of partitions purged."""
+    keep: set[int] = set()
+    purged: set[int] = set()
+    state_dir = os.path.join(out_dir, "state")
+    if os.path.isdir(state_dir):
+        for name in sorted(os.listdir(state_dir)):
+            if not (name.startswith("part-") and name.endswith(".json")):
+                continue
+            try:
+                pid = int(name[len("part-"):-len(".json")])
+            except ValueError:
+                continue
+            ok = False
+            try:
+                with open(os.path.join(state_dir, name)) as f:
+                    ok = json.load(f).get("fp") == fp
+            except (OSError, json.JSONDecodeError):
+                ok = False
+            if ok and 0 <= pid < n_specs:
+                keep.add(pid)
+            else:
+                purged.add(pid)
+                try:
+                    os.remove(os.path.join(state_dir, name))
+                except FileNotFoundError:
+                    pass
+    for sub in ("chunks", "fragments"):
+        d = os.path.join(out_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            path = os.path.join(d, name)
+            if name.endswith(".tmp"):
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+                continue
+            if not (name.startswith("part-") and name.endswith(".parquet")):
+                continue
+            try:
+                pid = int(name[len("part-"):-len(".parquet")])
+            except ValueError:
+                continue
+            if pid not in keep:
+                purged.add(pid)
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+    return len(purged)
 
 
 def read_packed(out_dir: str, columns: list[str] | None = None):
