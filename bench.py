@@ -44,8 +44,24 @@ N_ROWS = _ROWS.get(SF_NAME, 200_000)
 # which would bottleneck every parallelism level identically — a real
 # cluster has node-local disks whose aggregate bandwidth scales with N.
 # tmpfs emulates storage-that-scales so the 8-vs-32 measurement reflects
-# the engine, not the single-VM disk.  Falls back to /tmp if shm is tiny.
-_BASE = "/dev/shm/tokcodec_bench" if os.path.isdir("/dev/shm") else "/tmp/tokcodec_bench"
+# the engine, not the single-VM disk.  Falls back to /tmp if shm is tiny
+# (containers often mount a 64 MB /dev/shm — the sf0.1 fixture + encode
+# output need several GB).
+
+
+def _pick_base() -> str:
+    shm = "/dev/shm"
+    if os.path.isdir(shm):
+        try:
+            st = os.statvfs(shm)
+            if st.f_frsize * st.f_bavail >= 8 << 30:
+                return f"{shm}/tokcodec_bench"
+        except OSError:
+            pass
+    return "/tmp/tokcodec_bench"
+
+
+_BASE = _pick_base()
 FIXTURE = f"{_BASE}/{SF_NAME}_tokens_v3"  # multi-file dir
 
 
@@ -234,13 +250,19 @@ def run_bench() -> dict:
     # single-digit MB/s under load (same rationale as the encode warm-up
     # above — a cold decode measured 11.2 s where warm reps ran 4.2 s on
     # identical code); then best-of-2 timed reps.
-    assert decode_dataset(out_dir).count() == N_ROWS
+    # NOT assert-operands: python -O would strip the decode entirely and
+    # report an empty-loop time as decode_all
+    n_dec = decode_dataset(out_dir).count()
+    if n_dec != N_ROWS:
+        raise RuntimeError(f"decode row count {n_dec} != {N_ROWS}")
     decode_runs = []
     for _rep in range(2):
         _wait_for_parallel_headroom(max_wait_s=90.0)
         t0 = time.monotonic()
-        assert decode_dataset(out_dir).count() == N_ROWS
+        n_dec = decode_dataset(out_dir).count()
         decode_runs.append(round(time.monotonic() - t0, 3))
+        if n_dec != N_ROWS:
+            raise RuntimeError(f"decode row count {n_dec} != {N_ROWS}")
     decode_s = min(decode_runs)
 
     queries = {"encode": round(headline, 3), "decode_all": round(decode_s, 3)}

@@ -985,3 +985,16 @@ def test_approx_quantiles_error_bound(ray_session):
         ray.data.from_arrow(t).repartition(2), "x", [0.5, 0.99], rate=0.1, key_col="k"
     )
     assert approx == approx2
+
+
+def test_fingerprint_md5_null_is_null():
+    import pyarrow as pa
+
+    from tokcodec.functions.text import add_fingerprint
+
+    t = pa.table({"text": pa.array(["x", None, ""])})
+    out = add_fingerprint(t)
+    fps = out.column("fp").to_pylist()
+    assert fps[1] is None  # md5(NULL) IS NULL (DuckDB contract)
+    assert fps[2] == "d41d8cd98f00b204e9800998ecf8427e"  # md5('')
+    assert fps[0] != fps[2]

@@ -301,3 +301,24 @@ def test_mix_sources_oversample_rate_clamps_to_keep_all(ray_session):
     g0 = {i for i, s in zip(ids, srcs) if s == "g0"}
     assert g0 <= kept  # every g0 row survives
     assert not any(s == "g2" for i, s in zip(ids, srcs) if i in kept)
+
+
+def test_null_group_and_null_key_rows(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    # null group -> default_rate (drop here); null key -> dropped like
+    # SQL's hash(NULL) < thr (NULL -> not kept); no crash either way
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", None, "d"]),
+            "source": pa.array(["g0", None, "g0", "g0"]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    kept = sample.mix_sources(ds, {"g0": 1.0}, key_col="doc_id").take_all()
+    ids = {r["doc_id"] for r in kept}
+    assert ids == {"a", "d"}  # null-source b and null-key row dropped
+    # sample_dataset at rate<1 with a null key must not crash
+    out = sample.sample_dataset(ds, 0.5, key_col="doc_id").take_all()
+    assert all(r["doc_id"] is not None for r in out)

@@ -107,9 +107,21 @@ def sample_dataset(ds, rate: float, key_col: str = "doc_id", method: str = "fnv"
 
     def keep(t: pa.Table) -> pa.Table:
         u = key_hash_u64(t.column(key_col), method)
-        return t.filter(pa.array(u < thr))
+        return t.filter(pa.array(_mask_valid(u < thr, t.column(key_col))))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _mask_valid(mask: np.ndarray, keys) -> np.ndarray:
+    """AND a keep-mask with key validity: SQL's ``hash(key) < thr`` is
+    NULL (→ dropped) for NULL keys, while key_hash_u64 hashes them as
+    the empty string — which would keep or drop every NULL row as one
+    block instead of per-row Bernoulli."""
+    if keys.null_count:
+        mask = mask & pc.is_valid(keys).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+    return mask
 
 
 def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
@@ -160,8 +172,11 @@ def _group_lut(groups: pa.Array | pa.ChunkedArray, table: dict, default):
     if isinstance(enc, pa.ChunkedArray):  # pragma: no cover - 1-chunk after combine
         enc = enc.chunk(0)
     vals = [table.get(v, default) for v in enc.dictionary.to_pylist()]
-    codes = np.asarray(enc.indices, dtype=np.int64)
-    return np.asarray(vals)[codes]
+    # NULL group values have null dictionary indices (NaN -> INT64_MIN
+    # under a raw asarray cast, which the gather then IndexErrors on);
+    # treat them as a group absent from the table, like SQL would
+    codes = np.asarray(enc.indices.fill_null(len(vals)), dtype=np.int64)
+    return np.asarray(vals + [default])[codes]
 
 
 def group_quota(
@@ -349,6 +364,7 @@ def mix_sources(
     def keep(t: pa.Table) -> pa.Table:
         u = key_hash_u64(t.column(key_col), method)
         bound = _group_lut(t.column(group_col), thr, thr_default).astype(np.uint64)
-        return t.filter(pa.array((u < bound) | (bound == keep_all)))
+        m = _mask_valid((u < bound) | (bound == keep_all), t.column(key_col))
+        return t.filter(pa.array(m))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

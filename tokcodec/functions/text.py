@@ -158,8 +158,12 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text", out: str = "fp") ->
     with DuckDB's md5() so dedup results are oracle-checkable).  Per-row
     Python — the ORACLE-PARITY mode; hot paths use `fnv128` /
     `add_fingerprint128` (vectorized, ~2 ns/byte)."""
+    # md5(NULL) IS NULL in the DuckDB contract (NULL != empty string);
+    # GROUP BY still clusters the NULLs together on both sides
     fps = [
-        hashlib.md5(s.encode() if isinstance(s, str) else (s or b"")).hexdigest()
+        None if s is None else hashlib.md5(
+            s.encode() if isinstance(s, str) else s
+        ).hexdigest()
         for s in batch.column(text_col).to_pylist()
     ]
     return batch.append_column(out, pa.array(fps, type=pa.string()))

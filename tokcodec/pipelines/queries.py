@@ -8,6 +8,8 @@ the driver's value-hash sorts columns by name before hashing.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -32,6 +34,22 @@ from tokcodec.scanner import scan_schema
 # (group-by reduce width follows input block count).  Row count comes
 # from the parquet footer (metadata-only read).
 _RP_MIN_ROWS_PER_BLOCK = 2000
+
+
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(query, input) scratch dir, recreated fresh on
+    each call — mkdtemp here leaked a full encoded copy of the table per
+    driver/verify/bench invocation (unbounded /tmp growth across
+    rounds)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), "tokcodec_q", f"{tag}_{key}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def _rp(sf_dir: str, table: str, **kw):
@@ -173,12 +191,11 @@ def predicate_tokb_roundtrip(sf_dir: str):
     at the header read (lineitem is orderkey-ordered, so the filter
     prunes most blocks); survivors decode + re-filter.  Oracle = the
     same WHERE in DuckDB over the source table."""
-    import tempfile
 
     from tokcodec.pipelines.encode import decode_dataset
     from tokcodec.sources.sink import TokbDatasink
 
-    out = tempfile.mkdtemp(prefix="tokbpred_", dir="/tmp")
+    out = _scratch_dir("tokbpred", sf_dir)
     # sort by the filter key so block zone maps are disjoint (the layout
     # this feature exists for), split into ranged blocks, encode
     ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
@@ -194,12 +211,11 @@ def predicate_tokb_nested(sf_dir: str):
     keyed by dotted path, so non-matching blocks skip at the header
     read, and the projection decodes ONLY the size child subtree.
     Oracle = the same WHERE over the flat source columns."""
-    import tempfile
 
     from tokcodec.pipelines.encode import decode_dataset
     from tokcodec.sources.sink import TokbDatasink
 
-    out = tempfile.mkdtemp(prefix="tokbnest_", dir="/tmp")
+    out = _scratch_dir("tokbnest", sf_dir)
     ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars", "lang"])
 
     def to_struct(t: pa.Table) -> pa.Table:
@@ -235,13 +251,12 @@ def evolution_read_documents(sf_dir: str):
     that adds an optional int64 field — the absent field materializes as
     nulls (ParquetExampleTest.scala:263-326 semantics); oracle = the
     same projection with a NULL column in DuckDB."""
-    import tempfile
 
     from tokcodec.schema import Schema, Type
     from tokcodec.sources.reader import TokbReader
     from tokcodec.sources.sink import TokbDatasink
 
-    out = tempfile.mkdtemp(prefix="evo_", dir="/tmp")
+    out = _scratch_dir("evo", sf_dir)
     ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
     ds.write_datasink(TokbDatasink(out))
     read_schema = (
@@ -401,8 +416,6 @@ def tfidf_topk_documents(sf_dir: str):
     Ray and the SQL oracle agree bit-exactly — no float log in the
     hash path.  Nothing materializes: two streaming text passes, O(k x
     blocks) rows into the final merge."""
-    import numpy as np
-
     from tokcodec.functions.text import split_words
 
     terms = TFIDF_TERMS
@@ -920,8 +933,6 @@ def dedup_exact_fnv_documents(sf_dir: str):
 def _docs_with_near_dups(sf_dir: str):
     """documents ∪ mutated copies (ids offset by 1M): deterministic
     near-duplicates so near-dup operators have non-trivial output."""
-    import ray.data
-
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def mutate(batch: pa.Table) -> pa.Table:
@@ -945,11 +956,18 @@ def dedup_minhash_recall(sf_dir: str):
     tau=0.5' is oracle-checkable the way the ANN recall queries are: the
     oracle emits the injected count and TRUE; rows hash-match iff the
     Ray side measured the same count and met the bar."""
+    return _dedup_recall_bar(sf_dir)
+
+
+def _dedup_recall_bar(sf_dir: str, **shingle_kw) -> pa.Table:
+    """Shared injected-pair recall bar: LSH candidates -> exact Jaccard
+    verify (word- or char-shingled via `shingle_kw`) -> did the pipeline
+    recover >= 95% of the deterministic (id, id+1M) near-dups?"""
     import pyarrow.parquet as pq
 
     ds = _docs_with_near_dups(sf_dir)
-    pairs = dedup.lsh_candidate_pairs(ds)
-    verified = dedup.verify_jaccard(ds, pairs, tau=0.5)
+    pairs = dedup.lsh_candidate_pairs(ds, **shingle_kw)
+    verified = dedup.verify_jaccard(ds, pairs, tau=0.5, **shingle_kw)
     found = {(r["a"], r["b"]) for r in verified}
     ids = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
@@ -975,24 +993,7 @@ def dedup_ngram_recall(sf_dir: str):
     scale shape is identical to the word-shingle pipeline: vectorized
     shingle→signature batches, banded bucket groupby with capped pair
     emission, broadcast-or-shuffle-join exact verification."""
-    import pyarrow.parquet as pq
-
-    ds = _docs_with_near_dups(sf_dir)
-    pairs = dedup.lsh_candidate_pairs(ds, shingle="char", k=4)
-    verified = dedup.verify_jaccard(ds, pairs, tau=0.5, shingle="char", k=4)
-    found = {(r["a"], r["b"]) for r in verified}
-    ids = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).column("doc_id").to_pylist()
-    injected = [i for i in ids if i % 8 == 0]
-    n = len(injected)
-    hit = sum((i, i + 1_000_000) in found for i in injected)
-    return pa.table(
-        {
-            "n_injected": pa.array([n], pa.int64()),
-            "recall_ok": pa.array([n > 0 and hit / n >= 0.95], pa.bool_()),
-        }
-    )
+    return _dedup_recall_bar(sf_dir, shingle="char", k=4)
 
 
 def dedup_simhash_recall(sf_dir: str):
@@ -1003,7 +1004,7 @@ def dedup_simhash_recall(sf_dir: str):
     aggregate pulling both sides' signatures onto one row, then a
     vectorized XOR+popcount pass and a Sum/Count reduce — no per-pair
     Python stage, no driver-side signature state."""
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Max, Sum
 
     ds = _docs_with_near_dups(sf_dir)
     sigs = ds.map_batches(
@@ -1129,11 +1130,10 @@ def ann_ivf_partitioned_recall(sf_dir: str):
     """The IVF SCALE path: corpus hive-partitioned by nearest centroid
     at build (one shuffle, once), probes read only matching partition
     dirs; recall@5 vs brute force >= 0.6 per query."""
-    import tempfile
 
     ds = _rp(sf_dir, "embeddings")
     cents = ann.ivf_build(ds, k=16)
-    out = tempfile.mkdtemp(prefix="ivfpart_", dir="/tmp")
+    out = _scratch_dir("ivfpart", sf_dir)
     ann.ivf_partition(ds, cents, out)
     q = _query_matrix(sf_dir, n=3)
     rows = ann.ivf_topk_partitioned(out, cents, q, k=5, n_probe=8)
@@ -1141,8 +1141,6 @@ def ann_ivf_partitioned_recall(sf_dir: str):
 
 
 def embedding_dups(sf_dir: str):
-    import ray.data
-
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def shift(batch: pa.Table) -> pa.Table:
@@ -1433,7 +1431,6 @@ def pack_chunks_documents(sf_dir: str):
     the pack plan's global scan order) — the driver never holds the
     corpus; the pack itself is the distributed planned pipeline under
     test."""
-    import tempfile
 
     import ray.data
 
@@ -1454,7 +1451,7 @@ def pack_chunks_documents(sf_dir: str):
         )
         .sort("doc_id")
     )
-    tmp = tempfile.mkdtemp(prefix="tokcodec_pack_")
+    tmp = _scratch_dir("pack", sf_dir)
     ctx = ray.data.DataContext.get_current()
     prev_order = ctx.execution_options.preserve_order
     ctx.execution_options.preserve_order = True
