@@ -12,8 +12,11 @@ from hypothesis.extra.numpy import arrays
 
 from tokcodec.blocks import decode_table, encode_table
 from tokcodec.codecs import decode_bytes, decode_int, encode_bytes_auto, encode_int_auto
+from tokcodec.codecs import decode_float, encode_float_auto
 
-_int_dtypes = st.sampled_from([np.int8, np.int16, np.int32, np.int64, np.uint32])
+_int_dtypes = st.sampled_from(
+    [np.int8, np.int16, np.int32, np.int64, np.uint32, np.uint64]
+)
 
 
 @settings(max_examples=40, deadline=None)
@@ -56,6 +59,32 @@ def test_int_roundtrip_large_sampled_path(seed, n, shape):
         arr = np.repeat(rng.integers(0, 1000, max(1, n // 50)), 50)[:n].astype(np.int64)
     dec = decode_int(encode_int_auto(arr))
     assert dec.dtype == arr.dtype and (dec == arr).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    dt=st.sampled_from([np.float32, np.float64]),
+    data=st.data(),
+)
+def test_float_roundtrip_bit_pattern_property(dt, data):
+    """Floats must round-trip BIT-identical: NaN payloads, ±inf, -0.0
+    and subnormals all survive the byte-stream-split / plain paths."""
+    arr = data.draw(
+        arrays(
+            dtype=dt,
+            shape=st.integers(0, 400),
+            elements=st.floats(
+                allow_nan=True,
+                allow_infinity=True,
+                allow_subnormal=True,
+                width=32 if dt is np.float32 else 64,
+            ),
+        )
+    )
+    dec = decode_float(encode_float_auto(arr))
+    assert dec.dtype == arr.dtype
+    view = np.uint32 if dt is np.float32 else np.uint64
+    assert (dec.view(view) == arr.view(view)).all()
 
 
 @settings(max_examples=30, deadline=None)
