@@ -53,6 +53,12 @@ def make_table(
         rs %= VOCAB
         np.copyto(tokens[s : s + n], rs, casting="unsafe")
     del u, r
+    if total >= 2**31:  # list<int32> offsets are int32 — wrap = corruption
+        raise ValueError(
+            f"make_table: {total} tokens in one table exceeds the 2^31 "
+            "int32-offset limit; generate in smaller chunks "
+            "(write_fixture_dir does this automatically)"
+        )
     offsets = np.concatenate(([0], np.cumsum(lengths, dtype=np.int64))).astype(np.int32)
     tok_arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(tokens, type=pa.int32()))
     src_ids = rng.integers(0, len(SOURCES), size=n_rows)
