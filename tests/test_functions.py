@@ -998,3 +998,80 @@ def test_fingerprint_md5_null_is_null():
     assert fps[1] is None  # md5(NULL) IS NULL (DuckDB contract)
     assert fps[2] == "d41d8cd98f00b204e9800998ecf8427e"  # md5('')
     assert fps[0] != fps[2]
+
+
+# -------------------------------- sortagg ---------------------------------
+
+
+def test_sorted_group_reduce_matches_ray_groupby(ray_session):
+    """sorted_group_reduce == groupby().aggregate() on a multi-block
+    dataset with keys that straddle block boundaries (hot keys spanning
+    several sorted blocks exercise the edge-merge pass)."""
+    import ray.data
+
+    from tokcodec.functions.sortagg import sorted_group_reduce
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    # zipf-ish: a few hot keys (guaranteed to straddle sorted blocks)
+    # plus a near-unique tail
+    k1 = np.where(rng.random(n) < 0.3, rng.integers(0, 3, n), rng.integers(0, n, n))
+    k2 = k1 % 7
+    v = rng.integers(-1000, 1000, n)
+    t = pa.table(
+        {
+            "k1": pa.array(k1, pa.int64()),
+            "k2": pa.array(k2, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(16)
+    got = (
+        sorted_group_reduce(
+            ds,
+            ["k1", "k2"],
+            [("v", "min", "v_min"), ("v", "max", "v_max"),
+             ("v", "sum", "v_sum"), ("v", "count", "n")],
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    want = (
+        pd.DataFrame({"k1": k1, "k2": k2, "v": v})
+        .groupby(["k1", "k2"], as_index=False)
+        .agg(v_min=("v", "min"), v_max=("v", "max"),
+             v_sum=("v", "sum"), n=("v", "count"))
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["k1", "k2", "v_min", "v_max", "v_sum", "n"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_sorted_group_reduce_string_keys_and_nulls(ray_session):
+    """String group keys and null values (max ignores nulls; all-null
+    groups stay null) through the sort-based reduce."""
+    import ray.data
+
+    from tokcodec.functions.sortagg import sorted_group_reduce
+
+    t = pa.table(
+        {
+            "k": pa.array(["b", "a", "b", "c", "a", "c", "c"]),
+            "v": pa.array([1, None, 5, None, 2, None, None], pa.int64()),
+        }
+    )
+    out = (
+        sorted_group_reduce(ray.data.from_arrow(t).repartition(4), ["k"],
+                            [("v", "max", "vmax")])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == ["a", "b", "c"]
+    assert out["vmax"][0] == 2 and out["vmax"][1] == 5
+    assert out["vmax"].isna()[2]

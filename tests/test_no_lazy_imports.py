@@ -30,6 +30,7 @@ WORKER_MODULES = [
     "tokcodec/functions/hashing.py",
     "tokcodec/functions/joins.py",
     "tokcodec/functions/sketch.py",
+    "tokcodec/functions/sortagg.py",
     "tokcodec/functions/quantile.py",
     "tokcodec/functions/sessionize.py",
     "tokcodec/functions/vocab.py",

@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from tokcodec.functions.hashing import fnv1a_batch, fnv1a_spans
+from tokcodec.functions.sortagg import sorted_group_reduce
 from tokcodec.functions.text import add_fingerprint, flat_utf8, fnv128, split_words
 
 _M61 = np.uint64((1 << 61) - 1)
@@ -42,8 +43,12 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     `method`: "fnv128" (default — vectorized double-FNV content hash,
     keys (h1, h2) int64; the hot-path form, no per-row Python) or "md5"
-    (per-row hashlib, key `h` = md5 hex — DuckDB-oracle-parity mode)."""
-    from ray.data.aggregate import Min
+    (per-row hashlib, key `h` = md5 hex — DuckDB-oracle-parity mode).
+
+    The content-hash keys are near-unique (≈ one group per distinct
+    doc), so the merge is `sorted_group_reduce` — native sort +
+    per-block C++ hash aggregate — not Ray's per-group-Python
+    `groupby().aggregate()` (see functions/sortagg.py)."""
 
     def partial_md5(batch: pa.Table) -> pa.Table:
         b = add_fingerprint(batch, text_col, out="h")
@@ -71,15 +76,15 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         )
 
     if method == "md5":
-        return (
-            ds.map_batches(partial_md5, batch_format="pyarrow")
-            .groupby("h")
-            .aggregate(Min(id_col, alias_name=id_col))
+        return sorted_group_reduce(
+            ds.map_batches(partial_md5, batch_format="pyarrow"),
+            ["h"],
+            [(id_col, "min", id_col)],
         )
-    return (
-        ds.map_batches(partial_fnv, batch_format="pyarrow")
-        .groupby(["h1", "h2"])
-        .aggregate(Min(id_col, alias_name=id_col))
+    return sorted_group_reduce(
+        ds.map_batches(partial_fnv, batch_format="pyarrow"),
+        ["h1", "h2"],
+        [(id_col, "min", id_col)],
     )
 
 
@@ -251,14 +256,12 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id", **kw
     """documents → candidate near-dup pairs (a < b) via MinHash LSH.
 
     Pair emission is vectorized (np.triu_indices over the capped bucket)
-    and the distinct step is an AGGREGATE (`groupby(a,b).aggregate(Count)`
-    → native hash aggregation), not a per-pair Python `map_groups` — at
-    a dup-heavy 100 TB corpus the distinct would otherwise invoke a
-    Python lambda on a 2-row frame per candidate pair.  Bucket frames
-    stay Arrow end to end (no per-bucket pandas conversion)."""
+    and the distinct step is `sorted_group_reduce` over the near-unique
+    (a, b) keys — native sort + per-block C++ hash aggregate — not a
+    per-pair Python `map_groups` or Ray's per-group-Python aggregate
+    reduce (see functions/sortagg.py).  Bucket frames stay Arrow end to
+    end (no per-bucket pandas conversion)."""
     import logging
-
-    from ray.data.aggregate import Count
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         id_arr = g.column(id_col)
@@ -289,13 +292,11 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id", **kw
     pairs = bands.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pyarrow"
     )
-    # distinct pairs (may surface in several bands): native aggregate,
-    # then project the key columns back out
-    return (
-        pairs.groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["a", "b"])
-    )
+    # distinct pairs (may surface in several bands): sort-based
+    # reduce, then project the key columns back out
+    return sorted_group_reduce(
+        pairs, ["a", "b"], [("a", "count", "_n")]
+    ).select_columns(["a", "b"])
 
 
 def verify_jaccard(

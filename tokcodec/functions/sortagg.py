@@ -1,0 +1,124 @@
+"""Groupby-aggregate for NEAR-UNIQUE keys (group count ~ row count).
+
+Ray's native ``groupby().aggregate()`` reduce runs per-group Python —
+measured on this host at ~5 µs/group: a Count over 12M distinct groups
+takes 64 s where the native SORT of the same 12M rows takes 0.6 s on 32
+CPUs.  For operators whose key cardinality grows with the corpus (exact
+dedup by content hash, LSH candidate-pair distinct, per-original pair
+reduces), that turns the cheap part of the exchange into a 100× hot
+spot at scale.
+
+``sorted_group_reduce`` keeps every exchange native:
+
+1. ONE native range-partitioned sort by the group keys (the same data
+   movement a groupby needs anyway);
+2. a per-block pyarrow ``group_by`` — a C++ hash aggregate, immune to
+   group cardinality;
+3. block results split on the block's FIRST and LAST key — after the
+   sort those are the only keys that can straddle a block boundary —
+   giving final rows (interior keys) plus O(2 × blocks) edge partials;
+4. the edge partials merge in one tiny driver-side pyarrow aggregate
+   and rejoin the output as one extra block.
+
+The same sort+changepoint idea scores Jaccard pairs in
+functions/dedup.py `_score_shingle_rows`; this module is the generic
+mergeable-aggregate (min/max/sum/count) form.
+
+No reference-repo counterpart (the reference delegates aggregation to
+its host engine); this is scale plumbing for the Ray-Data design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# pyarrow fn used on blocks -> fn that merges two partials of it
+_MERGE_FN = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
+
+
+def sorted_group_reduce(ds, keys, aggs):
+    """Distributed groupby-aggregate tuned for near-unique keys.
+
+    Parameters
+    ----------
+    ds : ray.data.Dataset
+    keys : list[str]        group-key columns (non-null)
+    aggs : list[tuple]      (value_col, fn, alias) with fn one of
+                            min / max / sum / count — aggregates whose
+                            partials merge associatively.
+
+    Returns a Dataset with columns ``keys + [alias, ...]`` — one row per
+    distinct key, same contract as ``groupby(keys).aggregate(...)``.
+    """
+    import ray.data
+
+    keys = list(keys)
+    for _, fn, _ in aggs:
+        if fn not in _MERGE_FN:
+            raise ValueError(f"unsupported aggregate {fn!r}")
+
+    def shape(g: pa.Table) -> pa.Table:
+        cols = {k: g.column(k) for k in keys}
+        for c, f, alias in aggs:
+            cols[alias] = g.column(f"{c}_{f}")
+        return pa.table(cols)
+
+    def block_agg(t: pa.Table) -> pa.Table:
+        out = shape(t.group_by(keys).aggregate([(c, f) for c, f, _ in aggs]))
+        if t.num_rows == 0:
+            return out.append_column("_edge", pa.array([], pa.bool_()))
+        # keys equal to the block's first/last sorted row may continue
+        # into a neighboring block: route them to the merge pass
+        edge = np.zeros(out.num_rows, dtype=bool)
+        for pos in (0, -1):
+            m = np.ones(out.num_rows, dtype=bool)
+            for k in keys:
+                m &= pc.equal(out.column(k), t.column(k)[pos]).to_numpy(
+                    zero_copy_only=False
+                )
+            edge |= m
+        return out.append_column("_edge", pa.array(edge))
+
+    blocks = (
+        ds.sort(keys)
+        .map_batches(
+            block_agg, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        .materialize()  # aggregated rows only — read twice below
+    )
+
+    def keep(flag: bool):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.equal(t.column("_edge"), flag)
+            ).drop_columns(["_edge"])
+
+        return f
+
+    finals = blocks.map_batches(keep(False), batch_format="pyarrow")
+    edge_tbls = list(
+        blocks.map_batches(keep(True), batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    if not edge_tbls:
+        return finals
+    edges = pa.concat_tables(edge_tbls)  # O(2 × blocks) partial rows
+    if edges.num_rows == 0:
+        return finals
+    merged = shape_merge(edges, keys, aggs)
+    return finals.union(ray.data.from_arrow(merged))
+
+
+def shape_merge(edges: pa.Table, keys, aggs) -> pa.Table:
+    """Merge edge partials: one pyarrow hash aggregate, columns renamed
+    and ordered to the block-output schema."""
+    g = edges.group_by(keys).aggregate(
+        [(alias, _MERGE_FN[f]) for _, f, alias in aggs]
+    )
+    cols = {k: g.column(k) for k in keys}
+    for _, f, alias in aggs:
+        cols[alias] = g.column(f"{alias}_{_MERGE_FN[f]}")
+    return pa.table(cols)

@@ -1000,11 +1000,15 @@ def dedup_simhash_recall(sf_dir: str):
     """Recall bar for SimHash near-dup (same pattern as
     dedup_minhash_recall): every injected (id, id+1M) mutation pair must
     sit within Hamming distance 12 of its original for >= 95% of pairs.
-    Fully aggregate-shaped: signatures per batch, ONE groupby(pair_key)
-    aggregate pulling both sides' signatures onto one row, then a
-    vectorized XOR+popcount pass and a Sum/Count reduce — no per-pair
-    Python stage, no driver-side signature state."""
-    from ray.data.aggregate import Max, Sum
+    Fully aggregate-shaped: signatures per batch, ONE sort-based
+    reduce over the near-unique pair_key (functions/sortagg.py — Ray's
+    native groupby is per-group Python at reduce time) pulling both
+    sides' signatures onto one row, then a vectorized XOR+popcount pass
+    and a Sum/Count reduce — no per-pair Python stage, no driver-side
+    signature state."""
+    from ray.data.aggregate import Sum
+
+    from tokcodec.functions.sortagg import sorted_group_reduce
 
     ds = _docs_with_near_dups(sf_dir)
     sigs = ds.map_batches(
@@ -1024,10 +1028,10 @@ def dedup_simhash_recall(sf_dir: str):
             }
         )
 
-    both = (
-        sigs.map_batches(tag, batch_format="pyarrow")
-        .groupby("pair_key")
-        .aggregate(Max("sig_o", alias_name="o"), Max("sig_m", alias_name="m"))
+    both = sorted_group_reduce(
+        sigs.map_batches(tag, batch_format="pyarrow"),
+        ["pair_key"],
+        [("sig_o", "max", "o"), ("sig_m", "max", "m")],
     )
 
     def score(t: pa.Table) -> pa.Table:
