@@ -18,6 +18,8 @@ import heapq
 import numpy as np
 import pyarrow as pa
 
+from tokcodec.functions.sortagg import group_slices, sorted_group_apply
+
 
 def _empty_topk(id_col: str) -> pa.Table:
     return pa.table(
@@ -293,10 +295,13 @@ MAX_SIG_BUCKET = 1024
 def embedding_near_dups(ds, tau: float = 0.95, n_planes: int = 10, seed: int = 5,
                         id_col: str = "vec_id", vec_col: str = "embedding"):
     """Cosine-near-duplicate pairs: bucket by hyperplane signature
-    (groupby — the one shuffle), exact cosine within buckets (bounded by
-    MAX_SIG_BUCKET per chunk).  Bucket frames stay Arrow end to end:
-    the embedding matrix is a zero-copy reshape of the list values
-    buffer (_batch_matrix), never an object-dtype np.stack."""
+    (one native sort — the one shuffle), exact cosine within buckets
+    (bounded by MAX_SIG_BUCKET per chunk).  Bucket frames stay Arrow
+    end to end: the embedding matrix is a zero-copy reshape of the list
+    values buffer (_batch_matrix), never an object-dtype np.stack.
+    Buckets are walked via `sorted_group_apply` changepoint slices —
+    singleton buckets (the vast majority) never reach Python, and
+    there's no per-group map_groups call overhead."""
     import logging
 
     planes_holder = {}
@@ -320,28 +325,42 @@ def embedding_near_dups(ds, tau: float = 0.95, n_planes: int = 10, seed: int = 5
             np.round(s[keep], 4),
         )
 
-    def bucket_dups(g: pa.Table) -> pa.Table:
-        id_arr = g.column(id_col)
+    def emit_dups(t: pa.Table) -> pa.Table:
+        """Exact cosine pairs for every signature bucket in a key-sorted
+        table: changepoint group slices (singleton buckets never reach
+        Python), per-bucket blocked matmul with the MAX_SIG_BUCKET cap."""
+        id_arr = t.column(id_col)
         id_arr = id_arr.combine_chunks() if isinstance(id_arr, pa.ChunkedArray) else id_arr
-        if g.num_rows < 2:
-            return pa.table(
-                {"a": pa.array([], id_arr.type), "b": pa.array([], id_arr.type),
-                 "sim": pa.array([], pa.float64())}
+        empty = pa.table(
+            {"a": pa.array([], id_arr.type), "b": pa.array([], id_arr.type),
+             "sim": pa.array([], pa.float64())}
+        )
+        if t.num_rows < 2:
+            return empty
+        sig = t.column("sig").to_numpy(zero_copy_only=False)
+        starts, ends = group_slices([sig])
+        if not len(starts):
+            return empty
+        all_ids = id_arr.to_numpy(zero_copy_only=False)
+        mm = _normalize(_batch_matrix(t, vec_col))
+        parts = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            ids = all_ids[s:e]
+            order = np.argsort(ids, kind="stable")
+            m = mm[s:e][order]
+            ids = ids[order]
+            n = len(ids)
+            if n > MAX_SIG_BUCKET:
+                logging.getLogger(__name__).warning(
+                    "signature bucket of %d vectors split into %d-vector chunks: "
+                    "cross-chunk pairs dropped", n, MAX_SIG_BUCKET,
+                )
+            parts.extend(
+                chunk_dups(m[i : i + MAX_SIG_BUCKET], ids[i : i + MAX_SIG_BUCKET])
+                for i in range(0, n, MAX_SIG_BUCKET)
             )
-        ids = id_arr.to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        m = _normalize(_batch_matrix(g, vec_col))[order]
-        ids = ids[order]
-        n = len(ids)
-        if n > MAX_SIG_BUCKET:
-            logging.getLogger(__name__).warning(
-                "signature bucket of %d vectors split into %d-vector chunks: "
-                "cross-chunk pairs dropped", n, MAX_SIG_BUCKET,
-            )
-        parts = [
-            chunk_dups(m[i : i + MAX_SIG_BUCKET], ids[i : i + MAX_SIG_BUCKET])
-            for i in range(0, n, MAX_SIG_BUCKET)
-        ]
+        if not parts:
+            return empty
         return pa.table(
             {
                 "a": pa.array(np.concatenate([p[0] for p in parts]), id_arr.type),
@@ -351,4 +370,4 @@ def embedding_near_dups(ds, tau: float = 0.95, n_planes: int = 10, seed: int = 5
         )
 
     sig_ds = ds.map_batches(add_sig, batch_format="pyarrow")
-    return sig_ds.groupby("sig").map_groups(bucket_dups, batch_format="pyarrow")
+    return sorted_group_apply(sig_ds, ["sig"], emit_dups)

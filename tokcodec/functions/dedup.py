@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from tokcodec.functions.hashing import fnv1a_batch, fnv1a_spans
-from tokcodec.functions.sortagg import sorted_group_reduce
+from tokcodec.functions.sortagg import group_slices, sorted_group_apply, sorted_group_reduce
 from tokcodec.functions.text import add_fingerprint, flat_utf8, fnv128, split_words
 
 _M61 = np.uint64((1 << 61) - 1)
@@ -263,35 +263,51 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id", **kw
     end (no per-bucket pandas conversion)."""
     import logging
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        id_arr = g.column(id_col)
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        """Pairs for every band bucket in a key-sorted table: changepoint
+        group slices (singleton buckets never reach Python), per-bucket
+        np.unique + capped triangular emission."""
+        id_arr = t.column(id_col)
         id_arr = id_arr.combine_chunks() if isinstance(id_arr, pa.ChunkedArray) else id_arr
-        ids = np.unique(id_arr.to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
+        ids = id_arr.to_numpy(zero_copy_only=False)
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        starts, ends = group_slices([band, bh])
+        a_out, b_out = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            u = np.unique(ids[s:e])
+            if len(u) < 2:
+                continue
+            if len(u) > MAX_BUCKET:
+                n_full = len(u) * (len(u) - 1) // 2
+                kept = sum(
+                    m * (m - 1) // 2
+                    for m in (
+                        len(u[i : i + MAX_BUCKET])
+                        for i in range(0, len(u), MAX_BUCKET)
+                    )
+                )
+                logging.getLogger(__name__).warning(
+                    "LSH bucket of %d docs split into %d-doc chunks: emitting %d of %d pairs",
+                    len(u), MAX_BUCKET, kept, n_full,
+                )
+            a, b = _chunk_pairs(u, MAX_BUCKET)
+            a_out.append(a)
+            b_out.append(b)
+        if not a_out:
             empty = pa.array([], id_arr.type)
             return pa.table({"a": empty, "b": empty})
-        if len(ids) > MAX_BUCKET:
-            n_full = len(ids) * (len(ids) - 1) // 2
-            kept = sum(
-                m * (m - 1) // 2
-                for m in (
-                    len(ids[i : i + MAX_BUCKET])
-                    for i in range(0, len(ids), MAX_BUCKET)
-                )
-            )
-            logging.getLogger(__name__).warning(
-                "LSH bucket of %d docs split into %d-doc chunks: emitting %d of %d pairs",
-                len(ids), MAX_BUCKET, kept, n_full,
-            )
-        a, b = _chunk_pairs(ids, MAX_BUCKET)
-        return pa.table({"a": pa.array(a, id_arr.type), "b": pa.array(b, id_arr.type)})
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_out), id_arr.type),
+                "b": pa.array(np.concatenate(b_out), id_arr.type),
+            }
+        )
 
     bands = ds.map_batches(
         lambda t: minhash_band_rows(t, text_col, id_col, **kw), batch_format="pyarrow"
     )
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    pairs = sorted_group_apply(bands, ["band", "band_hash"], emit_pairs)
     # distinct pairs (may surface in several bands): sort-based
     # reduce, then project the key columns back out
     return sorted_group_reduce(

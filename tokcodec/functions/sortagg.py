@@ -112,6 +112,78 @@ def sorted_group_reduce(ds, keys, aggs):
     return finals.union(ray.data.from_arrow(merged))
 
 
+def sorted_group_apply(ds, keys, fn):
+    """Apply ``fn`` — a function over a key-sorted pa.Table holding only
+    COMPLETE groups — without Ray's ``map_groups`` one-Python-call-per-
+    group overhead (the same per-group cost class as the aggregate
+    pathology above; vectorized ``fn`` bodies make it the dominant term
+    once group count ≈ row count).
+
+    Shape: one native sort by ``keys``; per block, the FIRST and LAST
+    key (the only groups that can straddle a block boundary) are split
+    off and ``fn`` runs on the interior; the O(2 × blocks) edge rows
+    merge into one key-sorted table scored by the same ``fn``.  ``fn``
+    must be batch-shaped (loop groups internally via changepoints —
+    typically skipping size-1 groups without any per-group Python) and
+    return a pa.Table with a stable schema."""
+    import ray.data
+
+    keys = list(keys)
+    srt = ds.sort(keys).materialize()  # the sort materializes anyway
+
+    def edge_mask(t: pa.Table) -> np.ndarray:
+        m = np.zeros(t.num_rows, dtype=bool)
+        if t.num_rows == 0:
+            return m
+        for pos in (0, -1):
+            e = np.ones(t.num_rows, dtype=bool)
+            for k in keys:
+                e &= pc.equal(t.column(k), t.column(k)[pos]).to_numpy(
+                    zero_copy_only=False
+                )
+            m |= e
+        return m
+
+    def interior(t: pa.Table) -> pa.Table:
+        return fn(t.filter(pa.array(~edge_mask(t))))
+
+    def edges_only(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(edge_mask(t)))
+
+    out = srt.map_batches(
+        interior, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    edge_tbls = list(
+        srt.map_batches(
+            edges_only, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    )
+    edge_tbls = [t for t in edge_tbls if t.num_rows]
+    if not edge_tbls:
+        return out
+    edges = pa.concat_tables(edge_tbls).sort_by([(k, "ascending") for k in keys])
+    return out.union(ray.data.from_arrow(fn(edges)))
+
+
+def group_slices(cols: list[np.ndarray], min_size: int = 2):
+    """Changepoint group boundaries over equal-length sorted key arrays
+    → (starts, ends) of groups with at least ``min_size`` rows.  The
+    vectorized front half of every ``sorted_group_apply`` fn: singleton
+    groups (the vast majority in dedup/LSH bucketing) never reach
+    Python."""
+    n = len(cols[0])
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for c in cols:
+        new[1:] |= c[1:] != c[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    big = (ends - starts) >= min_size
+    return starts[big], ends[big]
+
+
 def shape_merge(edges: pa.Table, keys, aggs) -> pa.Table:
     """Merge edge partials: one pyarrow hash aggregate, columns renamed
     and ordered to the block-output schema."""
