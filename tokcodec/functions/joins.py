@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from tokcodec.functions.sortagg import group_slices, sorted_group_apply
+
 
 def _tag_sides(left, right, left_key, right_key, left_ts, right_ts, left_cols):
     """Project both sides to one (k, t, side, l_<payload>...) schema —
@@ -52,11 +54,6 @@ def _tag_sides(left, right, left_key, right_key, left_ts, right_ts, left_cols):
     lt = left.map_batches(tag_left, batch_format="pyarrow")
     rt = right.map_batches(tag_right, batch_format="pyarrow")
     return lt.union(rt), types
-
-
-def _split_sides(g: pa.Table) -> tuple[pa.Table, pa.Table]:
-    side = g.column("side")
-    return g.filter(pc.equal(side, 1)), g.filter(pc.equal(side, 0))
 
 
 def _empty_result(types: dict, left_cols: list[str], extra: str, extra_type) -> pa.Table:
@@ -98,24 +95,37 @@ def asof_join(
     )
 
     def merge(g: pa.Table) -> pa.Table:
-        le, ri = _split_sides(g)
-        if le.num_rows == 0 or ri.num_rows == 0:
+        """Fully vectorized multi-key as-of merge: one lexsort by
+        (k, t, side) — rights before lefts at equal t for the inclusive
+        rt <= lt bound — then a forward-fill of the last right row index
+        (np.maximum.accumulate), reset at key boundaries via the
+        segment-start gather.  No per-key Python at all."""
+        n = g.num_rows
+        if n == 0:
             return _empty_result(types, left_cols, out_ts, pa.timestamp("us"))
-        rts = np.sort(ri.column("t").to_numpy(zero_copy_only=False))
-        lts = le.column("t").to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        ok = idx >= 0
-        if not ok.any():
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, t, k))
+        ks, ts, ss = k[order], t[order], side[order]
+        ridx = np.where(ss == 0, np.arange(n), -1)
+        np.maximum.accumulate(ridx, out=ridx)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = ks[1:] != ks[:-1]
+        gstart = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        valid = (ss == 1) & (ridx >= gstart)
+        if not valid.any():
             return _empty_result(types, left_cols, out_ts, pa.timestamp("us"))
-        sel = pa.array(ok)
-        cols = {c: le.column(f"l_{c}").filter(sel) for c in left_cols}
-        cols[out_ts] = pa.array(rts[idx[ok]], type=pa.int64()).cast(
+        take = pa.array(order[valid], pa.int64())
+        cols = {c: g.column(f"l_{c}").take(take) for c in left_cols}
+        cols[out_ts] = pa.array(ts[ridx[valid]], type=pa.int64()).cast(
             pa.timestamp("us")
         )
         return pa.table(cols)
 
     if salt_width_us is None:
-        return tagged.groupby("k").map_groups(merge, batch_format="pyarrow")
+        return sorted_group_apply(tagged, ["k"], merge)
     return _asof_join_salted(tagged, types, left_cols, out_ts, salt_width_us)
 
 
@@ -127,102 +137,137 @@ def _asof_join_salted(tagged, types, left_cols, out_ts, width_us: int):
         t = batch.column("t").to_numpy(zero_copy_only=False)
         return batch.append_column("b", pa.array(t // w, pa.int64()))
 
-    def _mid(kind, k, b, t, asof, le=None, sel=None, n=1):
-        """One phase-1 output table in the common mid schema."""
+    def merge1(g: pa.Table) -> pa.Table:
+        """Fully vectorized phase 1 over all (k, b) groups in a block:
+        the same lexsort + forward-fill as the unsalted merge (segments
+        reset at (k, b) changepoints) classifies every left row as
+        matched/unmatched in one pass; per-group max-right summaries
+        fall out of a gather at group-end positions (the forward-filled
+        right index at the last row of a group IS its max right t,
+        because rights sort before lefts at equal t and t ascends)."""
+        n = g.num_rows
+        kinds, kk, bb, tt, asof, takes = [], [], [], [], [], []
+        if n:
+            k = g.column("k").to_numpy(zero_copy_only=False)
+            b = g.column("b").to_numpy(zero_copy_only=False)
+            t = g.column("t").to_numpy(zero_copy_only=False)
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            order = np.lexsort((side, t, b, k))
+            ks, bs, ts, ss = k[order], b[order], t[order], side[order]
+            ridx = np.where(ss == 0, np.arange(n), -1)
+            np.maximum.accumulate(ridx, out=ridx)
+            new = np.empty(n, bool)
+            new[0] = True
+            new[1:] = (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], n)
+            gstart = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+            is_left = ss == 1
+            matched = is_left & (ridx >= gstart)
+            unmatched = is_left & ~matched
+            for kind, mask in ((0, matched), (1, unmatched)):
+                if not mask.any():
+                    continue
+                m = int(mask.sum())
+                kinds.append(np.full(m, kind, np.int8))
+                kk.append(ks[mask])
+                bb.append(bs[mask])
+                tt.append(ts[mask])
+                asof.append(
+                    pa.array(ts[ridx[mask]], pa.int64())
+                    if kind == 0
+                    else pa.nulls(m, pa.int64())
+                )
+                takes.append(order[mask])
+            has_r = ridx[ends - 1] >= starts  # group contains a right row
+            if has_r.any():
+                sm_t = ts[ridx[ends[has_r] - 1]]
+                m = int(has_r.sum())
+                kinds.append(np.full(m, 2, np.int8))
+                kk.append(ks[starts[has_r]])
+                bb.append(bs[starts[has_r]])
+                tt.append(sm_t)
+                asof.append(pa.array(sm_t, pa.int64()))
+                takes.append(None)
         cols = {
-            "kind": pa.array(np.full(n, kind, np.int8)),
-            "k": pa.array(np.asarray(k, np.int64)),
-            "b": pa.array(np.asarray(b, np.int64)),
-            "t": pa.array(np.asarray(t, np.int64)),
-            "asof": asof if isinstance(asof, pa.Array) else pa.array(
-                np.asarray(asof, np.int64), pa.int64()
+            "kind": pa.array(
+                np.concatenate(kinds) if kinds else np.empty(0, np.int8)
             ),
+            "k": pa.array(
+                np.concatenate(kk) if kk else np.empty(0, np.int64), pa.int64()
+            ),
+            "b": pa.array(
+                np.concatenate(bb) if bb else np.empty(0, np.int64), pa.int64()
+            ),
+            "t": pa.array(
+                np.concatenate(tt) if tt else np.empty(0, np.int64), pa.int64()
+            ),
+            "asof": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in asof]
+            ) if asof else pa.nulls(0, pa.int64()),
         }
         for c in left_cols:
-            if le is None:
-                cols[f"l_{c}"] = pa.nulls(n, type=types[c])
-            else:
-                cols[f"l_{c}"] = le.column(f"l_{c}").filter(sel) if sel is not None else le.column(f"l_{c}")
-        return pa.table(cols)
-
-    def merge1(g: pa.Table) -> pa.Table:
-        le, ri = _split_sides(g)
-        key = g.column("k")[0].as_py()
-        bkt = g.column("b")[0].as_py()
-        parts = []
-        if ri.num_rows:
-            rmax = int(
-                np.max(ri.column("t").to_numpy(zero_copy_only=False))
+            parts = [
+                g.column(f"l_{c}").take(pa.array(ix, pa.int64())).combine_chunks()
+                if ix is not None
+                else pa.nulls(len(kinds[j]), type=types[c])
+                for j, ix in enumerate(takes)
+            ]
+            cols[f"l_{c}"] = (
+                pa.concat_arrays(
+                    [p if isinstance(p, pa.Array) else p.combine_chunks()
+                     for p in parts]
+                )
+                if parts
+                else pa.nulls(0, type=types[c])
             )
-            parts.append(_mid(2, [key], [bkt], [rmax], [rmax]))
-        if le.num_rows:
-            lts = le.column("t").to_numpy(zero_copy_only=False)
-            if ri.num_rows:
-                rts = np.sort(ri.column("t").to_numpy(zero_copy_only=False))
-                idx = np.searchsorted(rts, lts, side="right") - 1
-                ok = idx >= 0
-            else:
-                ok = np.zeros(len(lts), dtype=bool)
-            if ok.any():
-                sel = pa.array(ok)
-                parts.append(
-                    _mid(
-                        0,
-                        np.full(int(ok.sum()), key),
-                        np.full(int(ok.sum()), bkt),
-                        lts[ok],
-                        pa.array(rts[idx[ok]], pa.int64()),
-                        le,
-                        sel,
-                        int(ok.sum()),
-                    )
-                )
-            if (~ok).any():
-                sel = pa.array(~ok)
-                n = int((~ok).sum())
-                parts.append(
-                    _mid(
-                        1,
-                        np.full(n, key),
-                        np.full(n, bkt),
-                        lts[~ok],
-                        pa.nulls(n, pa.int64()),
-                        le,
-                        sel,
-                        n,
-                    )
-                )
-        if not parts:
-            return _mid(2, np.empty(0, np.int64), [], [], pa.array([], pa.int64()), n=0)
-        return pa.concat_tables(parts)
+        return pa.table(cols)
 
     def merge2(g: pa.Table) -> pa.Table:
+        """Phase 2 over all key groups in a block: changepoint slices
+        (groups lacking a pending or summary row never reach Python),
+        per-group prefix-max over earlier-bucket summaries."""
+        empty = _empty_result(types, left_cols, out_ts, pa.timestamp("us"))
+        if g.num_rows == 0:
+            return empty
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        t = g.column("t").to_numpy(zero_copy_only=False)
         kind = g.column("kind").to_numpy(zero_copy_only=False)
-        pend = g.filter(pa.array(kind == 1))
-        summ = g.filter(pa.array(kind == 2))
-        if pend.num_rows == 0 or summ.num_rows == 0:
-            return _empty_result(types, left_cols, out_ts, pa.timestamp("us"))
-        sb = summ.column("b").to_numpy(zero_copy_only=False)
-        st = summ.column("t").to_numpy(zero_copy_only=False)
-        order = np.argsort(sb)
-        sb, st = sb[order], st[order]
-        pmax = np.maximum.accumulate(st)
-        pb = pend.column("b").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(sb, pb, side="left") - 1  # latest bucket < pb
-        ok = pos >= 0
-        if not ok.any():
-            return _empty_result(types, left_cols, out_ts, pa.timestamp("us"))
-        sel = pa.array(ok)
-        cols = {c: pend.column(f"l_{c}").filter(sel) for c in left_cols}
-        cols[out_ts] = pa.array(pmax[pos[ok]], pa.int64()).cast(pa.timestamp("us"))
+        order = np.lexsort((kind, b, k))  # pendings before summaries per b
+        ks, bs, ts, kd = k[order], b[order], t[order], kind[order]
+        starts, ends = group_slices([ks])
+        li_out, ts_out = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            summ = kd[s:e] == 2
+            pend = ~summ
+            if not summ.any() or not pend.any():
+                continue
+            sb, st = bs[s:e][summ], ts[s:e][summ]
+            o2 = np.argsort(sb, kind="stable")
+            sb, st = sb[o2], st[o2]
+            pmax = np.maximum.accumulate(st)
+            pb = bs[s:e][pend]
+            pos = np.searchsorted(sb, pb, side="left") - 1  # bucket < pb
+            ok = pos >= 0
+            if ok.any():
+                li_out.append(order[s:e][pend][ok])
+                ts_out.append(pmax[pos[ok]])
+        if not li_out:
+            return empty
+        take = pa.array(np.concatenate(li_out), pa.int64())
+        cols = {c: g.column(f"l_{c}").take(take) for c in left_cols}
+        cols[out_ts] = pa.array(np.concatenate(ts_out), pa.int64()).cast(
+            pa.timestamp("us")
+        )
         return pa.table(cols)
 
-    mid = (
-        tagged.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby(["k", "b"])
-        .map_groups(merge1, batch_format="pyarrow")
-        .materialize()  # consumed twice below; sized like the join output
-    )
+    mid = sorted_group_apply(
+        tagged.map_batches(add_bucket, batch_format="pyarrow"),
+        ["k", "b"],
+        merge1,
+    ).materialize()  # consumed twice below; sized like the join output
 
     def finals(t: pa.Table) -> pa.Table:
         sel = pc.equal(t.column("kind"), 0)
@@ -235,7 +280,7 @@ def _asof_join_salted(tagged, types, left_cols, out_ts, width_us: int):
         lambda t: t.filter(pc.not_equal(t.column("kind"), 0)),
         batch_format="pyarrow",
     )
-    late = rest.groupby("k").map_groups(merge2, batch_format="pyarrow")
+    late = sorted_group_apply(rest, ["k"], merge2)
     return done.union(late)
 
 
@@ -276,26 +321,49 @@ def band_join_count(
         left, right, left_key, right_key, left_ts, right_ts, left_cols
     )
 
-    def merge(g: pa.Table) -> pa.Table:
-        le, ri = _split_sides(g)
-        if le.num_rows == 0 or ri.num_rows == 0:
-            return _empty_result(types, left_cols, out, pa.int64())
-        rts = np.sort(ri.column("t").to_numpy(zero_copy_only=False))
-        lts = le.column("t").to_numpy(zero_copy_only=False)
-        n = (
-            np.searchsorted(rts, lts + hi_offset_us, side="right")
-            - np.searchsorted(rts, lts + lo_offset_us, side="left")
-        )
-        ok = n > 0
-        if not ok.any():
-            return _empty_result(types, left_cols, out, pa.int64())
-        sel = pa.array(ok)
-        cols = {c: le.column(f"l_{c}").filter(sel) for c in left_cols}
-        cols[out] = pa.array(n[ok], type=pa.int64())
-        return pa.table(cols)
+    def make_merge(key_cols: list[str]):
+        """Multi-group band count over a key-sorted table: one lexsort
+        by (keys, side, t) — each group's rights form a sorted t-prefix
+        — then per-group searchsorted interval counts via changepoint
+        slices (single-side and singleton groups never reach Python)."""
+
+        def merge(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return _empty_result(types, left_cols, out, pa.int64())
+            keys = [
+                g.column(c).to_numpy(zero_copy_only=False) for c in key_cols
+            ]
+            t = g.column("t").to_numpy(zero_copy_only=False)
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            order = np.lexsort((t, side, *reversed(keys)))
+            ss, ts = side[order], t[order]
+            starts, ends = group_slices([k[order] for k in keys])
+            li_out, n_out = [], []
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                sd = ss[s:e]
+                nr = int(np.searchsorted(sd, 1))  # rights sort first
+                if nr == 0 or nr == e - s:
+                    continue
+                rts = ts[s : s + nr]
+                lts = ts[s + nr : e]
+                cnt = np.searchsorted(
+                    rts, lts + hi_offset_us, side="right"
+                ) - np.searchsorted(rts, lts + lo_offset_us, side="left")
+                ok = cnt > 0
+                if ok.any():
+                    li_out.append(order[s + nr : e][ok])
+                    n_out.append(cnt[ok])
+            if not li_out:
+                return _empty_result(types, left_cols, out, pa.int64())
+            take = pa.array(np.concatenate(li_out), pa.int64())
+            cols = {c: g.column(f"l_{c}").take(take) for c in left_cols}
+            cols[out] = pa.array(np.concatenate(n_out), type=pa.int64())
+            return pa.table(cols)
+
+        return merge
 
     if salt_width_us is None:
-        return tagged.groupby("k").map_groups(merge, batch_format="pyarrow")
+        return sorted_group_apply(tagged, ["k"], make_merge(["k"]))
 
     w = np.int64(max(int(salt_width_us), int(hi_offset_us - lo_offset_us), 1))
 
@@ -317,8 +385,8 @@ def band_join_count(
         rep = batch.take(pa.array(idx))
         return rep.append_column("b", pa.array(buckets, pa.int64()))
 
-    return (
-        tagged.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby(["k", "b"])
-        .map_groups(merge, batch_format="pyarrow")
+    return sorted_group_apply(
+        tagged.map_batches(add_bucket, batch_format="pyarrow"),
+        ["k", "b"],
+        make_merge(["k", "b"]),
     )
