@@ -32,6 +32,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from tokcodec.functions.sortagg import sorted_group_reduce
+
 # dense-LUT fast path bound: one uint8/int64 LUT per actor, L2-friendly
 # for token vocabularies and safely allocatable for anything below it
 _DENSE_MAX_SPAN = 1 << 22
@@ -48,9 +50,10 @@ def _flat_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
 def token_frequencies(ds, col: str = "tokens"):
     """Global (token, cnt) counts of an int or list<int> column: per-block
     unique+count partials (each bounded by the block's own vocabulary)
-    into one native hash-aggregated sum — the only shuffle, sized by
-    vocabulary x blocks, not by corpus rows."""
-    from ray.data.aggregate import Sum
+    merged by `sorted_group_reduce` (functions/sortagg.py — vocabulary
+    keys are high-cardinality, where Ray's native aggregate reduce is
+    per-group Python) — the only shuffle, sized by vocabulary x blocks,
+    not by corpus rows."""
 
     def partial(t: pa.Table) -> pa.Table:
         vals = _flat_values(t.column(col))
@@ -75,12 +78,11 @@ def token_frequencies(ds, col: str = "tokens"):
             }
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
-        .aggregate(Sum("partial_cnt", alias_name="cnt"))
+    return sorted_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["token"],
+        [("partial_cnt", "sum", "cnt")],
     )
-    return agg
 
 
 def build_remap(freq) -> tuple[np.ndarray, np.ndarray]:

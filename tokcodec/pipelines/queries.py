@@ -15,6 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from tokcodec.functions import ann, dedup, multimodal, sample, text
+from tokcodec.functions.sortagg import sorted_group_reduce
 from tokcodec.pipelines.encode import decode_stream, encode_stream
 from tokcodec.predicate import col, read_parquet_filtered
 from tokcodec.scanner import scan_schema
@@ -377,10 +378,10 @@ def wordcount_topk_documents(sf_dir: str):
             }
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
+    agg = sorted_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["word"],
+        [("n", "sum", "n")],
     )
     return agg.sort(["n", "word"], descending=[True, False]).limit(20)
 
@@ -1008,8 +1009,6 @@ def dedup_simhash_recall(sf_dir: str):
     signature state."""
     from ray.data.aggregate import Sum
 
-    from tokcodec.functions.sortagg import sorted_group_reduce
-
     ds = _docs_with_near_dups(sf_dir)
     sigs = ds.map_batches(
         lambda t: dedup.simhash_batch(t).select(["doc_id", "simhash"]),
@@ -1366,7 +1365,19 @@ def vocab_remap_events(sf_dir: str):
 
     ds = _rp(sf_dir, "events", columns=["user_id"])
     remapped, _old, _new = vocab.compact_vocab(ds, col="user_id")
-    out = remapped.groupby("user_id").aggregate(Count(alias_name="n_events"))
+
+    def partial_n(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([([], "count_all")])
+        return pa.table(
+            {"user_id": g.column("user_id"),
+             "pn": pc.cast(g.column("count_all"), pa.int64())}
+        )
+
+    out = sorted_group_reduce(
+        remapped.map_batches(partial_n, batch_format="pyarrow"),
+        ["user_id"],
+        [("pn", "sum", "n_events")],
+    )
     return out.map_batches(
         lambda t: pa.table(
             {
