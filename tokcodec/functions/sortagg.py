@@ -38,13 +38,24 @@ import pyarrow.compute as pc
 _MERGE_FN = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
 
 
+def _key_eq(col, scalar) -> np.ndarray:
+    """Null-safe elementwise equality of a key column against a scalar
+    boundary value (null == null is True: Ray's sort and groupby both
+    treat null as one key value)."""
+    if not scalar.is_valid:
+        return pc.is_null(col).to_numpy(zero_copy_only=False)
+    return (
+        pc.equal(col, scalar).fill_null(False).to_numpy(zero_copy_only=False)
+    )
+
+
 def sorted_group_reduce(ds, keys, aggs):
     """Distributed groupby-aggregate tuned for near-unique keys.
 
     Parameters
     ----------
     ds : ray.data.Dataset
-    keys : list[str]        group-key columns (non-null)
+    keys : list[str]        group-key columns (nulls form one group)
     aggs : list[tuple]      (value_col, fn, alias) with fn one of
                             min / max / sum / count — aggregates whose
                             partials merge associatively.
@@ -75,9 +86,7 @@ def sorted_group_reduce(ds, keys, aggs):
         for pos in (0, -1):
             m = np.ones(out.num_rows, dtype=bool)
             for k in keys:
-                m &= pc.equal(out.column(k), t.column(k)[pos]).to_numpy(
-                    zero_copy_only=False
-                )
+                m &= _key_eq(out.column(k), t.column(k)[pos])
             edge |= m
         return out.append_column("_edge", pa.array(edge))
 
@@ -138,9 +147,7 @@ def sorted_group_apply(ds, keys, fn):
         for pos in (0, -1):
             e = np.ones(t.num_rows, dtype=bool)
             for k in keys:
-                e &= pc.equal(t.column(k), t.column(k)[pos]).to_numpy(
-                    zero_copy_only=False
-                )
+                e &= _key_eq(t.column(k), t.column(k)[pos])
             m |= e
         return m
 

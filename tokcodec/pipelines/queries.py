@@ -720,11 +720,12 @@ def window_events(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(add_win, batch_format="pyarrow")
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "win"])
-        .aggregate(Sum("pn", alias_name="n"))
+    return sorted_group_reduce(
+        ds.map_batches(add_win, batch_format="pyarrow").map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["event_type", "win"],
+        [("pn", "sum", "n")],
     )
 
 
@@ -881,9 +882,11 @@ def having_orders(sf_dir: str):
             {"o_custkey": g.column("o_custkey"), "pn": g.column("count_all")}
         )
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "o_custkey"
-    ).aggregate(Sum("pn", alias_name="n"))
+    agg = sorted_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("pn", "sum", "n")],
+    )
     return agg.map_batches(
         lambda t: t.filter(pc.greater(t.column("n"), 5)), batch_format="pyarrow"
     )
