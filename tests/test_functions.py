@@ -1075,3 +1075,74 @@ def test_sorted_group_reduce_string_keys_and_nulls(ray_session):
     assert list(out["k"]) == ["a", "b", "c"]
     assert out["vmax"][0] == 2 and out["vmax"][1] == 5
     assert out["vmax"].isna()[2]
+
+
+def test_sorted_group_reduce_null_keys(ray_session):
+    """Null group keys form one group (Ray groupby semantics) through
+    the sort-based reduce's edge detection."""
+    import ray.data
+
+    from tokcodec.functions.sortagg import sorted_group_reduce
+
+    t = pa.table(
+        {
+            "k": pa.array([1, None, 2, None, 1, None], pa.int64()),
+            "v": pa.array([5, 1, 7, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = (
+        sorted_group_reduce(ray.data.from_arrow(t).repartition(3), ["k"],
+                            [("v", "sum", "s")])
+        .to_pandas()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert out["s"][0] == 8 and out["s"][1] == 7
+    assert out["k"].isna()[2] and out["s"][2] == 7
+
+
+def test_sorted_group_apply_matches_map_groups(ray_session):
+    """sorted_group_apply(fn over complete groups) == per-group result,
+    with hot keys straddling sorted blocks."""
+    import ray.data
+
+    from tokcodec.functions.sortagg import group_slices, sorted_group_apply
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    k = np.where(rng.random(n) < 0.4, rng.integers(0, 2, n), rng.integers(0, 800, n))
+    v = rng.integers(0, 100, n)
+    t = pa.table({"k": pa.array(k, pa.int64()), "v": pa.array(v, pa.int64())})
+
+    def span_per_group(g: pa.Table) -> pa.Table:
+        kk = g.column("k").to_numpy(zero_copy_only=False)
+        vv = g.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, kk))
+        kk, vv = kk[order], vv[order]
+        starts, ends = group_slices([kk])
+        rows_k, rows_s = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            rows_k.append(kk[s])
+            rows_s.append(int(vv[e - 1]) - int(vv[s]))
+        return pa.table(
+            {"k": pa.array(rows_k, pa.int64()), "span": pa.array(rows_s, pa.int64())}
+        )
+
+    got = (
+        sorted_group_apply(ray.data.from_arrow(t).repartition(8), ["k"], span_per_group)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    df = pd.DataFrame({"k": k, "v": v})
+    want = (
+        df.groupby("k", as_index=False)["v"]
+        .agg(lambda s: s.max() - s.min())
+        .rename(columns={"v": "span"})
+    )
+    want = want[df.groupby("k")["v"].count().values >= 2].reset_index(drop=True)
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    assert (got["span"].to_numpy() == want["span"].to_numpy()).all()
