@@ -68,3 +68,83 @@ def test_hash_stages_edge_batches(texts):
 
 def test_hll_empty_batch_registers():
     assert _batch_registers(np.empty(0, np.uint64), 12).sum() == 0
+
+
+# ---- extended column types: every Arrow type an LLM-data table plausibly
+# ---- carries must round-trip bit-identical through the block codec
+
+
+def _rt(t: pa.Table) -> pa.Table:
+    back, _ = decode_table(encode_table(t.combine_chunks()))
+    return back
+
+
+@pytest.mark.parametrize(
+    "name,table",
+    [
+        (
+            "dict_string",
+            pa.table({"d": pa.array(["x", "y", None, "x", "z"] * 25).dictionary_encode()}),
+        ),
+        (
+            "dict_int",
+            pa.table({"d": pa.array([10, 20, 10, None] * 10, pa.int64()).dictionary_encode()}),
+        ),
+        (
+            "fixed_size_list_float",
+            pa.table(
+                {"emb": pa.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0], None], pa.list_(pa.float32(), 3))}
+            ),
+        ),
+        (
+            "fsl_nested",
+            pa.table({"m": pa.array([[[1, 2], [3, 4]], None], pa.list_(pa.list_(pa.int32(), 2), 2))}),
+        ),
+        (
+            "fixed_size_binary",
+            pa.table(
+                {"h": pa.array([b"0123456789abcdef", None, b"fedcba9876543210"], pa.binary(16))}
+            ),
+        ),
+        (
+            "decimal128",
+            pa.table(
+                {
+                    "dec": pa.array(
+                        [None, __import__("decimal").Decimal("1.23"), __import__("decimal").Decimal("-4.56")],
+                        pa.decimal128(10, 2),
+                    )
+                }
+            ),
+        ),
+        ("duration", pa.table({"d": pa.array([5, None, -10], pa.duration("ms"))})),
+        ("null_type", pa.table({"n": pa.array([None, None], pa.null())})),
+        (
+            "float16_bits",
+            pa.table({"h": pa.array(np.array([1.5, 2.5, np.nan, -0.0], np.float16))}),
+        ),
+        ("float16_null", pa.table({"h": pa.array([np.float16(1.5), None], pa.float16())})),
+    ],
+)
+def test_extended_type_roundtrip(name, table):
+    assert _rt(table).equals(table.combine_chunks())
+
+
+def test_extended_types_sliced_offsets():
+    """Fixed-width encode paths index the raw buffer by arr.offset — a
+    sliced (non-zero-offset) input must round-trip the window exactly."""
+    big = pa.table(
+        {
+            "emb": pa.array([[float(i), float(i + 1)] for i in range(100)], pa.list_(pa.float64(), 2)),
+            "fb": pa.array([bytes([i % 256]) * 4 for i in range(100)], pa.binary(4)),
+            "h": pa.array(np.arange(100, dtype=np.float16)),
+        }
+    )
+    window = big.slice(13, 40).combine_chunks()
+    assert _rt(window).equals(window)
+
+
+def test_duplicate_column_names_fail_fast():
+    t = pa.Table.from_arrays([pa.array([1]), pa.array([2])], names=["a", "a"])
+    with pytest.raises(ValueError, match="duplicate column names"):
+        encode_table(t)

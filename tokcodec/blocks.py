@@ -90,6 +90,14 @@ def _decode_validity(enc: dict) -> np.ndarray:
 def encode_array(arr: pa.Array) -> dict:
     """Encode one (combined-chunk) Arrow array into a codec tree."""
     t = arr.type
+    if pa.types.is_dictionary(t):
+        # Parquet readers commonly hand back dictionary-encoded string
+        # columns; store the logical values — the serialized block schema
+        # remembers the dictionary type and decode re-encodes on the way
+        # out, so the caller sees the type it wrote.
+        return encode_array(pc.cast(arr, t.value_type))
+    if pa.types.is_null(t):
+        return _node("col", {"kind": "null", "n": len(arr)}, k={})
     k: dict = {}
     v = _validity_node(arr)
     if v is not None:
@@ -101,7 +109,12 @@ def encode_array(arr: pa.Array) -> dict:
         vals = np.frombuffer(buf, dtype=_np_dtype(t))[arr.offset : arr.offset + len(arr)]
         k["data"] = encode_int_auto(vals)
         return _node("col", {"kind": "int"}, k=k)
-    if pa.types.is_timestamp(t) or pa.types.is_date64(t) or pa.types.is_time64(t):
+    if (
+        pa.types.is_timestamp(t)
+        or pa.types.is_date64(t)
+        or pa.types.is_time64(t)
+        or pa.types.is_duration(t)
+    ):
         vals = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
             arr.offset : arr.offset + len(arr)
         ]
@@ -141,19 +154,68 @@ def encode_array(arr: pa.Array) -> dict:
         for i, f in enumerate(t):
             k[f"f{i}"] = encode_array(arr.field(i))
         return _node("col", {"kind": "struct", "nf": t.num_fields, "n": len(arr)}, k=k)
+    if pa.types.is_fixed_size_list(t):
+        # embeddings land here (fixed_size_list<float>): one child plane,
+        # no offsets to store — the width lives in the schema
+        w = t.list_size
+        child = arr.values
+        if len(child) != len(arr) * w:  # .values ignores the parent slice
+            child = child.slice(arr.offset * w, len(arr) * w)
+        k["values"] = encode_array(child)
+        return _node("col", {"kind": "fsl", "n": len(arr)}, k=k)
+    if pa.types.is_fixed_size_binary(t) or pa.types.is_decimal(t):
+        # fixed-width payloads (digests, decimal128/256): the raw buffer is
+        # one uint8 plane — byte-plane/zstd codecs handle structure if any
+        w = t.byte_width
+        vals = np.frombuffer(arr.buffers()[1], dtype=np.uint8)[
+            arr.offset * w : (arr.offset + len(arr)) * w
+        ]
+        k["data"] = encode_int_auto(vals)
+        return _node("col", {"kind": "fixed", "n": len(arr)}, k=k)
+    if t == pa.float16():
+        # bit-pattern roundtrip via the uint16 view (NaN payloads intact)
+        vals = np.frombuffer(arr.buffers()[1], dtype=np.uint16)[
+            arr.offset : arr.offset + len(arr)
+        ]
+        k["data"] = encode_int_auto(vals)
+        return _node("col", {"kind": "f16"}, k=k)
     raise TypeError(f"unsupported column type: {t}")
 
 
+def _validity_buffer(mask: np.ndarray | None):
+    """Arrow validity buffer from an 'is null' numpy mask (None = all valid)."""
+    if mask is None:
+        return None
+    return pa.py_buffer(np.packbits(~mask, bitorder="little").tobytes())
+
+
 def decode_array(enc: dict, t: pa.DataType) -> pa.Array:
+    if pa.types.is_dictionary(t):
+        # stored as logical values (see encode_array); re-encode on exit
+        d = pc.dictionary_encode(decode_array(enc, t.value_type))
+        if d.type != t:
+            d = pa.DictionaryArray.from_arrays(
+                d.indices.cast(t.index_type),
+                d.dictionary.cast(t.value_type),
+                ordered=t.ordered,
+            )
+        return d
     kind = enc["m"]["kind"]
     k = enc["k"]
     mask = None
     if "valid" in k:
         mask = ~_decode_validity(k["valid"])  # numpy bool "is null" mask
 
+    if kind == "null":
+        return pa.nulls(enc["m"]["n"], t)
     if kind == "int":
         vals = decode_int(k["data"])
-        if pa.types.is_timestamp(t) or pa.types.is_date64(t) or pa.types.is_time64(t):
+        if (
+            pa.types.is_timestamp(t)
+            or pa.types.is_date64(t)
+            or pa.types.is_time64(t)
+            or pa.types.is_duration(t)
+        ):
             base = pa.array(vals.astype(np.int64), type=pa.int64())
         elif pa.types.is_date32(t) or pa.types.is_time32(t):
             base = pa.array(vals.astype(np.int32), type=pa.int32())
@@ -206,6 +268,21 @@ def decode_array(enc: dict, t: pa.DataType) -> pa.Array:
             children, fields=list(t), mask=pa.array(mask) if mask is not None else None
         )
         return out
+    if kind == "fsl":
+        n = enc["m"]["n"]
+        values = decode_array(k["values"], t.value_type)
+        return pa.Array.from_buffers(t, n, [_validity_buffer(mask)], children=[values])
+    if kind == "fixed":
+        raw = decode_int(k["data"]).astype(np.uint8, copy=False)
+        n = enc["m"]["n"]
+        return pa.Array.from_buffers(
+            t, n, [_validity_buffer(mask), pa.py_buffer(raw.tobytes())]
+        )
+    if kind == "f16":
+        raw = decode_int(k["data"]).astype(np.uint16, copy=False)
+        return pa.Array.from_buffers(
+            t, len(raw), [_validity_buffer(mask), pa.py_buffer(raw.tobytes())]
+        )
     raise TypeError(f"unknown column kind {kind}")
 
 
@@ -360,6 +437,9 @@ def header_stats(header: dict) -> dict:
 
 def encode_table(table: pa.Table, meta: dict | None = None, zstd: bool = True) -> bytes:
     table = table.combine_chunks()
+    if len(set(table.column_names)) != len(table.column_names):
+        dup = sorted({n for n in table.column_names if table.column_names.count(n) > 1})
+        raise ValueError(f"duplicate column names not supported: {dup}")
     segments: list[bytes] = []
     cols = []
     for name in table.column_names:
@@ -420,6 +500,10 @@ def codec_summary(header: dict) -> dict:
             kind = enc["m"].get("kind")
             if kind == "list":
                 return f"list(len={walk(k['len'])},values={walk(k['values'])})"
+            if kind == "fsl":
+                return f"fsl(values={walk(k['values'])})"
+            if kind == "null":
+                return "null"
             if kind == "struct":
                 # positional child keys f0..fN: iterate numerically (a
                 # lexicographic sort misorders f10 before f2)
