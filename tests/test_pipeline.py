@@ -499,3 +499,57 @@ def test_purge_sweeps_orphan_blocks_and_tmps(encoded, tmp_path):
     assert "part-00996.tokb.tmp" not in names
     n_rows = pq.read_table(src).num_rows
     assert decode_dataset(out).count() == n_rows
+
+
+def test_encode_zero_row_input_yields_empty_plan(ray_session, tmp_path):
+    """A zero-row input file must produce a clean empty plan (no
+    partitions, no blocks) — not a crash or a degenerate partition."""
+    import pyarrow as pa
+
+    src = str(tmp_path / "empty.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "tokens": pa.array([], pa.list_(pa.int32())),
+                "n_tok": pa.array([], pa.int32()),
+                "source": pa.array([], pa.string()),
+            }
+        ),
+        src,
+    )
+    out = str(tmp_path / "out")
+    res = encode_dataset([src], out)
+    assert res["plan"]["partitions"] == []
+    assert not [f for f in os.listdir(out) if f.endswith(".tokb")]
+
+
+def test_encode_dictionary_parquet_input(ray_session, tmp_path):
+    """Parquet files written with dictionary encoding on a string column
+    decode back bit-identical through the full distributed path (the
+    reader may surface dictionary-typed Arrow columns)."""
+    import pyarrow as pa
+
+    from tokcodec.blocks import decode_file
+
+    n = 400
+    rng = np.random.default_rng(3)
+    toks = [list(map(int, rng.integers(0, 99, rng.integers(1, 30)))) for _ in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:04d}" for i in range(n)]),
+            "tokens": pa.array(toks, pa.list_(pa.int32())),
+            "n_tok": pa.array([len(x) for x in toks], pa.int32()),
+            "source": pa.array(["web", "book"] * (n // 2)),
+        }
+    )
+    src = str(tmp_path / "dict.parquet")
+    pq.write_table(t, src, use_dictionary=["source"], row_group_size=64)
+    out = str(tmp_path / "out")
+    encode_dataset([src], out)
+    import pyarrow as pa2
+
+    parts = sorted(f for f in os.listdir(out) if f.endswith(".tokb"))
+    got = pa2.concat_tables([decode_file(os.path.join(out, p))[0] for p in parts])
+    want = pq.read_table(src)
+    assert got.sort_by("doc_id").cast(want.schema).equals(want.sort_by("doc_id"))
