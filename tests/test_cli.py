@@ -73,3 +73,20 @@ def test_tables_bit_identical_nan_aware():
     neg_nan = np.frombuffer(np.uint64(0xFFF8000000000001).tobytes(), dtype=np.float64)[0]
     d = b.set_column(0, "f", pa.array([1.0, neg_nan, None], pa.float64()))
     assert not tables_bit_identical(a, d)
+
+
+def test_cli_ingest_jsonl(ray_session, tmp_path, capsys):
+    import json as _json
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        "\n".join(
+            _json.dumps({"doc_id": f"d{i}", "text": f"hello world number {i}", "source": "web"})
+            for i in range(50)
+        )
+        + "\n"
+    )
+    out = str(tmp_path / "ing")
+    res = _run(capsys, "ingest", "--input", str(src), "--out", out)
+    assert res["rows"] == 50 and res["blocks"] >= 1
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))

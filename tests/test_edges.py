@@ -148,3 +148,13 @@ def test_duplicate_column_names_fail_fast():
     t = pa.Table.from_arrays([pa.array([1]), pa.array([2])], names=["a", "a"])
     with pytest.raises(ValueError, match="duplicate column names"):
         encode_table(t)
+
+
+def test_dictionary_column_keeps_zone_map_stats():
+    """Dict-encoded inputs must not lose predicate-pruning stats: the
+    zone map is computed over the logical values."""
+    from tokcodec.blocks import read_header
+
+    t = pa.table({"src": pa.array(["a", "b", "c", "b", None] * 10).dictionary_encode()})
+    st = read_header(encode_table(t.combine_chunks()))["columns"][0]["stats"]
+    assert st["min"] == "a" and st["nulls"] == 10 and st["n"] == 50

@@ -357,6 +357,10 @@ def column_stats(arr: pa.Array) -> dict | None:
     what the reference reader's pushdown consumes
     (ExampleReadSupport.java:55-74)."""
     t = arr.type
+    if pa.types.is_dictionary(t):
+        # dict-encoded inputs keep their zone maps: stats over the
+        # logical values (the block stores those values anyway)
+        return column_stats(pc.cast(arr, t.value_type))
     orderable = (
         t in _STATS_TYPES
         or pa.types.is_timestamp(t)

@@ -5,6 +5,8 @@
     python -m tokcodec.cli decode  --input ENC_DIR --out PARQUET_DIR
     python -m tokcodec.cli verify  --encoded ENC_DIR [--input SRC_OVERRIDE]
     python -m tokcodec.cli plan    --input DIR_OR_FILE [--target-tokens N]
+    python -m tokcodec.cli ingest  --input DOCS --out DIR
+        [--format jsonl|csv|parquet] [--text-col text] [--id-col doc_id]
     python -m tokcodec.cli synth   --out FILE --rows N [--seed S]
 
 This module owns a Ray session (unlike the library); on a cluster,
@@ -194,6 +196,23 @@ def cmd_plan(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    from tokcodec.pipelines.ingest import ingest_documents
+
+    _init_ray(args.num_cpus)
+    summary = ingest_documents(
+        args.input,
+        args.out,
+        fmt=args.format,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        source_col=args.source_col,
+        zstd=not args.no_zstd,
+    )
+    print(json.dumps({"out_dir": args.out, **summary}))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from tokcodec.synth import write_fixture
 
@@ -237,6 +256,17 @@ def main(argv=None) -> int:
     pl.add_argument("--token-col", default="n_tok")
     common(pl)
     pl.set_defaults(fn=cmd_plan)
+
+    ig = sub.add_parser("ingest")
+    ig.add_argument("--input", required=True)
+    ig.add_argument("--out", required=True)
+    ig.add_argument("--format", choices=["jsonl", "csv", "parquet"], default="jsonl")
+    ig.add_argument("--text-col", default="text")
+    ig.add_argument("--id-col", default="doc_id")
+    ig.add_argument("--source-col", default="source")
+    ig.add_argument("--no-zstd", action="store_true")
+    common(ig)
+    ig.set_defaults(fn=cmd_ingest)
 
     s = sub.add_parser("synth")
     s.add_argument("--out", required=True)

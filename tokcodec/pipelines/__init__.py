@@ -5,3 +5,4 @@ from tokcodec.pipelines.encode import (  # noqa: F401
     encode_stream,
     plan_partitions,
 )
+from tokcodec.pipelines.ingest import ingest_documents  # noqa: F401
