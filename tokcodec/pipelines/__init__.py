@@ -6,3 +6,4 @@ from tokcodec.pipelines.encode import (  # noqa: F401
     plan_partitions,
 )
 from tokcodec.pipelines.ingest import ingest_documents  # noqa: F401
+from tokcodec.pipelines.sidecar import append_columns, read_with_sidecars  # noqa: F401
