@@ -1523,6 +1523,28 @@ def _pack_oracle_sql() -> str:
     )
 
 
+def sidecar_quality_documents(sf_dir: str):
+    """Sidecar append on OUR OWN format: encode documents (doc_id, text)
+    into TOKB blocks, attach a q_words column as a SIDECAR (base blocks
+    never rewritten), then read base+sidecar zipped back.  Oracle = the
+    same word count in SQL over the source table — any base/sidecar
+    misalignment would break the per-row hash."""
+    from tokcodec.pipelines.sidecar import append_columns, read_with_sidecars
+    from tokcodec.sources.sink import TokbDatasink
+
+    out = _scratch_dir("sidecarq", sf_dir)
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    ds.repartition(8).write_datasink(TokbDatasink(out))
+
+    def qcols(t):
+        from tokcodec.functions.text import add_quality
+
+        return add_quality(t).select(["q_words"])
+
+    append_columns(out, "q", qcols, input_columns=["doc_id", "text"])
+    return read_with_sidecars(out, ["q"], columns=["doc_id", "q_words"])
+
+
 # ----------------------------------------------------------- catalog ----
 
 
@@ -1617,6 +1639,7 @@ def build_queries() -> dict:
         "multimodal_meta_documents": multimodal_meta_documents,
         "docs_stats_by_lang": docs_stats_by_lang,  # agg twin of agg_lineitem_pricing
         "predicate_negation_orders": predicate_negation_orders,  # NOT: pytest + OR twin
+        "sidecar_quality_documents": sidecar_quality_documents,  # column append, no rewrite
     }
     return qs
 
@@ -1678,6 +1701,10 @@ def build_oracle_sql() -> dict:
             # hashes as float64; Ray returns int64 — keep dtypes aligned
             "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang"
+        ),
+        "sidecar_quality_documents": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+            " AS q_words FROM documents"
         ),
         "agg_lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "

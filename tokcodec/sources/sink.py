@@ -63,11 +63,17 @@ class TokbDatasink(Datasink):
             blob = encode_table(t, meta={"task": ctx.task_idx, "seq": seq}, zstd=self.zstd)
             path = os.path.join(self.out_dir, name + ".tokb")
             mf.atomic_write_bytes(path, blob)
+            import hashlib
+
             man = {
                 "block": name + ".tokb",
                 "rows": t.num_rows,
                 "bytes_out": len(blob),
                 "bytes_in": int(t.nbytes),
+                # parity with the planned path's manifests: lets sidecar
+                # staleness checks (and any integrity audit) use content
+                # identity, not just size
+                "checksum": hashlib.sha256(blob).hexdigest(),
             }
             mf.atomic_write_json(os.path.join(self.out_dir, name + ".manifest.json"), man)
             out.append(man)
