@@ -110,3 +110,45 @@ def test_stale_sidecar_detected(enc, ray_session, tmp_path):
 def test_missing_sidecar_fails_fast(enc, ray_session):
     with pytest.raises(ValueError, match="missing"):
         read_with_sidecars(enc, ["nonexistent"]).to_pandas()
+
+
+def test_predicate_filters_and_skips_blocks(ray_session, fixture_parquet, tmp_path):
+    """Predicates over base AND sidecar columns: exact WHERE semantics,
+    zone-map skip never misaligns (whole blocks skip on both sides)."""
+    import ray
+
+    from tokcodec.predicate import col
+    from tokcodec.sources.sink import TokbDatasink
+
+    out = str(tmp_path / "enc2")
+    ds = ray.data.read_parquet(fixture_parquet, columns=["doc_id", "n_tok", "tokens"])
+    ds.sort("n_tok").repartition(6).write_datasink(TokbDatasink(out))
+
+    append_columns(enc_dir=out, name="stats", fn=_make_stats_fn(),
+                   input_columns=["tokens", "n_tok"])
+
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(fixture_parquet)
+    ntok = src.column("n_tok").to_pandas()
+    cut = int(ntok.quantile(0.1))
+
+    # base-column predicate (the sorted layout makes most blocks skip)
+    got = read_with_sidecars(out, ["stats"], columns=["doc_id", "n_tok", "tok_len"],
+                             predicate=col("n_tok") < cut).to_pandas()
+    assert len(got) == int((ntok < cut).sum())
+    assert (got["tok_len"] == got["n_tok"]).all()  # tok_len == len(tokens) == n_tok
+
+    # sidecar-column predicate, selection excludes the predicate column
+    got2 = read_with_sidecars(out, ["stats"], columns=["doc_id"],
+                              predicate=col("even_ntok") == True).to_pandas()  # noqa: E712
+    assert len(got2) == int((ntok % 2 == 0).sum())
+    assert list(got2.columns) == ["doc_id"]
+
+    # all-blocks-skipped predicate: zero rows (Ray drops the schema of a
+    # fully-empty dataset at to_pandas — same as decode_dataset — so only
+    # the row count is asserted here; per-block schema fidelity is what
+    # the mixed case above exercises)
+    got3 = read_with_sidecars(out, ["stats"], columns=["doc_id", "tok_len"],
+                              predicate=col("n_tok") < -1).to_pandas()
+    assert len(got3) == 0

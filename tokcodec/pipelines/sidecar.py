@@ -135,11 +135,19 @@ def read_with_sidecars(
     enc_dir: str,
     sidecars: list[str],
     columns: list[str] | None = None,
+    predicate=None,
 ):
     """Dataset over base blocks zipped with their sidecar columns (one
     task per block; same streaming shape as decode_dataset).  `columns`
     selects across base + sidecar columns; base-only selections skip
-    sidecar payload reads entirely (and vice versa)."""
+    sidecar payload reads entirely (and vice versa).
+
+    `predicate` (a tokcodec.predicate.Expr) may reference base AND
+    sidecar columns.  Zone-map block skipping stays alignment-safe by
+    construction: the check merges the base and sidecar headers' stats,
+    and a skip drops the WHOLE block on both sides; surviving blocks
+    decode, zip, then re-filter residually — exact WHERE semantics,
+    never a per-row base-side filter that would misalign the zip."""
     import ray.data
 
     mans = mf.list_manifests(enc_dir)
@@ -180,23 +188,61 @@ def read_with_sidecars(
     ]
 
     def _zip(batch: pa.Table) -> pa.Table:
+        from tokcodec.blocks import header_schema, header_stats, read_header_file
+
+        order = (
+            list(dict.fromkeys(c.split(".")[0] for c in columns))
+            if columns is not None
+            else None
+        )
+
+        def _empty(row) -> pa.Table:
+            # schema-faithful zero-row table for a zone-map-skipped block
+            fields = []
+            for p in [row["base"], *row["sides"]]:
+                s = header_schema(read_header_file(p))
+                fields.extend(s.field(i) for i in range(len(s)))
+            full = pa.schema(fields)
+            if columns is not None:
+                from tokcodec.projection import project_schema
+
+                full = project_schema(full, list(columns))
+                full = pa.schema([full.field(n) for n in order])
+            return full.empty_table()
+
         tables = []
         for row in batch.to_pylist():
-            side_schemas = [
-                (p, header_names(p)) for p in row["sides"]
-            ]
-            base_cols = columns
-            if columns is not None:
-                side_all = {c for _p, names in side_schemas for c in names}
-                base_cols = [c for c in columns if c.split(".")[0] not in side_all]
+            side_schemas = [(p, header_names(p)) for p in row["sides"]]
+            side_all = {c for _p, names in side_schemas for c in names}
+            eff_cols = columns
+            if predicate is not None:
+                # block skip is alignment-safe: base + sidecar stats merge,
+                # and a skip drops the WHOLE block on both sides
+                stats: dict = {}
+                for p in [row["base"], *row["sides"]]:
+                    stats.update(header_stats(read_header_file(p)))
+                if not predicate.stats_may_match(stats):
+                    tables.append(_empty(row))
+                    continue
+                if columns is not None:
+                    tops = {c.split(".")[0] for c in columns}
+                    extra = sorted(
+                        c
+                        for c in getattr(predicate, "columns", frozenset())
+                        if c.split(".")[0] not in tops
+                    )
+                    eff_cols = list(columns) + extra
+            base_cols = eff_cols
+            if eff_cols is not None:
+                base_cols = [c for c in eff_cols if c.split(".")[0] not in side_all]
             parts = []
             if base_cols is None or base_cols:
                 t, _ = decode_file(row["base"], columns=base_cols)
                 parts.append(t)
             for p, names in side_schemas:
                 want = None
-                if columns is not None:
-                    want = [c for c in columns if c.split(".")[0] in set(names)]
+                if eff_cols is not None:
+                    want = [c for c in eff_cols if c.split(".")[0] in set(names)]
                     if not want:
                         continue
                 st, _ = decode_file(p, columns=want)
@@ -207,11 +253,12 @@ def read_with_sidecars(
             if len(n_rows) != 1:
                 raise ValueError(f"base/sidecar row-count mismatch: {sorted(n_rows)}")
             merged = parts[0]
-            for extra in parts[1:]:
-                for i, f in enumerate(extra.schema):
-                    merged = merged.append_column(f, extra.column(i))
+            for extra_t in parts[1:]:
+                for i, f in enumerate(extra_t.schema):
+                    merged = merged.append_column(f, extra_t.column(i))
+            if predicate is not None:
+                merged = predicate.filter_table(merged)
             if columns is not None:
-                order = list(dict.fromkeys(c.split(".")[0] for c in columns))
                 merged = merged.select(order)
             tables.append(merged)
         return pa.concat_tables(tables)
