@@ -14,6 +14,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # modules whose functions run inside map_batches / remote tasks
 WORKER_MODULES = [
     "tokcodec/blocks.py",
+    "tokcodec/bloom.py",
     "tokcodec/schema.py",
     "tokcodec/scanner.py",
     "tokcodec/projection.py",

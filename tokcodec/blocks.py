@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from tokcodec.bloom import build_bloom
 from tokcodec.codecs import (
     decode_bytes,
     decode_float,
@@ -432,14 +433,23 @@ def header_stats(header: dict) -> dict:
     out = {}
     for c in header["columns"]:
         s = c.get("stats")
-        if s:
-            out[c["name"]] = _stats_entry_from_json(s)
+        bl = c.get("bloom")
+        if s or bl:
+            ent = _stats_entry_from_json(s) if s else {}
+            if bl:
+                ent["bloom"] = bl  # equality/isin probes consult this
+            out[c["name"]] = ent
         for pth, ns in (c.get("nstats") or {}).items():
             out[pth] = _stats_entry_from_json(ns)
     return out
 
 
-def encode_table(table: pa.Table, meta: dict | None = None, zstd: bool = True) -> bytes:
+def encode_table(
+    table: pa.Table,
+    meta: dict | None = None,
+    zstd: bool = True,
+    bloom_cols: list[str] | None = None,
+) -> bytes:
     table = table.combine_chunks()
     if len(set(table.column_names)) != len(table.column_names):
         dup = sorted({n for n in table.column_names if table.column_names.count(n) > 1})
@@ -455,6 +465,10 @@ def encode_table(table: pa.Table, meta: dict | None = None, zstd: bool = True) -
         stats = column_stats(arr)
         if stats is not None:
             spec["stats"] = stats
+        if bloom_cols and name in bloom_cols:
+            bl = build_bloom(arr)
+            if bl is not None:
+                spec["bloom"] = bl
         if pa.types.is_struct(arr.type):
             ns: dict = {}
             nested_stats(arr, arr.type, name, ns)

@@ -1,0 +1,175 @@
+"""Per-block Bloom filters for equality predicates — the Parquet
+bloom-filter idea (PARQUET-41) on TOKB blocks.
+
+Zone-map min/max prunes range predicates on sorted layouts, but a point
+lookup on a high-cardinality UNSORTED column (`doc_id == "x"` over
+100 TB) skips nothing: every block's [min, max] straddles every id.  A
+small per-block bloom (default ~10 bits/key ≈ 1% false-positive with
+k=6) lets `col == lit` and `col.isin(...)` skip blocks at the header
+read — the payload is never touched.
+
+Opt-in per column (`bloom_cols=` on encode_table / TokbDatasink /
+encode_dataset): the filter costs ~n×10 bits in the block header, which
+only pays for columns you actually point-look-up.
+
+Hashing: strings/binary use the same vectorized FNV-1a span kernel as
+the dedup stages (two independent bases), ints a splitmix64-style mix
+(two seeds); probes are value-identical scalars of the same functions.
+Bit positions follow Kirsch–Mitzenmacher double hashing:
+idx_i = (h1 + i·h2) mod m, m a power of two.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tokcodec.functions.hashing import _FNV_PRIME, fnv1a_spans
+
+_K = 6  # hash count; ~optimal for 10 bits/key, FP ≈ 1%
+_BITS_PER_KEY = 10
+_MIN_BITS = 64
+
+#: second FNV basis — same constant family as functions.hashing
+_FNV_OFFSET = 14695981039346656037
+_FNV_OFFSET2 = _FNV_OFFSET ^ 0x9E3779B97F4A7C15
+
+_SM_SEED1 = np.uint64(0x9E3779B97F4A7C15)
+_SM_SEED2 = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1)).bit_length()
+
+
+def _mix64(vals: np.ndarray, seed: np.uint64) -> np.ndarray:
+    """splitmix64 finalizer over uint64 values (vectorized; the scalar
+    probe calls this with a 1-element array so build and probe are
+    value-identical by construction)."""
+    with np.errstate(over="ignore"):
+        h = vals + seed
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+
+def _string_hash_pair(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    # normalize to non-null large offsets view
+    if arr.null_count:
+        arr = arr.drop_null()
+    t = arr.type
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        off_dt = np.int64
+    else:
+        off_dt = np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
+    starts = offsets[:-1]
+    lengths = np.diff(offsets)
+    h1 = fnv1a_spans(data, starts, lengths, basis=_FNV_OFFSET)
+    h2 = fnv1a_spans(data, starts, lengths, basis=_FNV_OFFSET2)
+    return h1, h2
+
+
+def _int_hash_pair(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if arr.null_count:
+        arr = arr.drop_null()
+    vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+    return _mix64(vals, _SM_SEED1), _mix64(vals, _SM_SEED2)
+
+
+def _scalar_hash_pair(value, is_string: bool) -> tuple[int, int] | None:
+    if is_string:
+        data = value.encode() if isinstance(value, str) else bytes(value)
+        out = []
+        for basis in (_FNV_OFFSET, _FNV_OFFSET2):
+            h = basis
+            for c in data:
+                h = ((h ^ c) * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
+            out.append(h)
+        return out[0], out[1]
+    try:
+        v = np.array([int(value)], dtype=np.int64).view(np.uint64)
+    except (OverflowError, ValueError, TypeError):
+        return None
+    return int(_mix64(v, _SM_SEED1)[0]), int(_mix64(v, _SM_SEED2)[0])
+
+
+def _supported(t: pa.DataType) -> str | None:
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "str"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_dictionary(t):
+        return _supported(t.value_type)
+    return None
+
+
+def build_bloom(arr: pa.Array, bits_per_key: int = _BITS_PER_KEY) -> dict | None:
+    """Bloom over the non-null values of a string/binary/int column →
+    {"m", "k", "b64"} for the block header, or None when the column
+    type is unsupported or all-null."""
+    t = arr.type
+    kind = _supported(t)
+    if kind is None:
+        return None
+    if pa.types.is_dictionary(t):
+        arr = pc.cast(arr, t.value_type)
+    n = len(arr) - arr.null_count
+    if n == 0:
+        return None
+    if kind == "str":
+        h1, h2 = _string_hash_pair(arr)
+    else:
+        h1, h2 = _int_hash_pair(arr)
+    m = _next_pow2(max(_MIN_BITS, n * bits_per_key))
+    mask = np.uint64(m - 1)
+    bits = np.zeros(m, dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(_K):
+            bits[(h1 + np.uint64(i) * h2) & mask] = True
+    packed = np.packbits(bits, bitorder="little")
+    return {
+        "m": m,
+        "k": _K,
+        "t": kind,
+        "b64": base64.b64encode(packed.tobytes()).decode(),
+    }
+
+
+def might_contain(bloom: dict, value) -> bool:
+    """Conservative membership probe (True = maybe, False = provably
+    absent).  Values whose type can't map onto the bloom's hash domain
+    return True (no claim)."""
+    if value is None:
+        return True  # nulls aren't in the bloom; equality to null is
+        # handled by the null-count stats, not here
+    # type/domain agreement: string blooms answer str/bytes probes, int
+    # blooms answer int probes; everything else is "maybe"
+    if bloom["t"] == "str":
+        if not isinstance(value, (str, bytes)):
+            return True
+        pair = _scalar_hash_pair(value, True)
+    else:
+        if isinstance(value, bool) or not isinstance(value, (int, np.integer)):
+            return True
+        pair = _scalar_hash_pair(value, False)
+    if pair is None:
+        return True
+    h1, h2 = pair
+    m = bloom["m"]
+    packed = np.frombuffer(base64.b64decode(bloom["b64"]), dtype=np.uint8)
+    for i in range(bloom["k"]):
+        idx = (h1 + i * h2) % m
+        if not (packed[idx >> 3] >> (idx & 7)) & 1:
+            return False
+    return True

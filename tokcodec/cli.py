@@ -56,6 +56,7 @@ def cmd_encode(args) -> int:
         columns=columns,
         token_col=args.token_col,
         zstd=not args.no_zstd,
+        bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
     )
     mets = res["metrics"]
     summary = {
@@ -235,6 +236,9 @@ def main(argv=None) -> int:
     e.add_argument("--columns", default=None)
     e.add_argument("--token-col", default="n_tok")
     e.add_argument("--no-zstd", action="store_true")
+    e.add_argument("--bloom-cols", default=None,
+                   help="comma-separated columns to index with per-block "
+                        "bloom filters (point-lookup pruning)")
     common(e)
     e.set_defaults(fn=cmd_encode)
 

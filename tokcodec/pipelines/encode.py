@@ -365,6 +365,7 @@ def plan_partitions(
     columns: list[str] | None = None,
     parallel: bool = True,
     snap_frac: float = DEFAULT_SNAP_FRAC,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Build the deterministic partition plan.
 
@@ -415,6 +416,12 @@ def plan_partitions(
         ],
         "format": "TOKB1",
     }
+    if bloom_cols:
+        # part of the output contract: adding/removing blooms must
+        # invalidate prior manifests (resume would otherwise skip
+        # re-encoding blocks that lack the requested filters); omitted
+        # when unset so existing fingerprints stay stable
+        config["bloom_cols"] = sorted(bloom_cols)
     return {"fingerprint": mf.fingerprint(config), "config": config, "partitions": partitions}
 
 
@@ -465,11 +472,13 @@ class EncodeWorker:
         columns: list[str] | None,
         zstd: bool = True,
         schema=None,
+        bloom_cols: list[str] | None = None,
     ):
         self.out_dir = out_dir
         self.fp = fp
         self.columns = columns
         self.zstd = zstd
+        self.bloom_cols = bloom_cols
         # write-side schema enforcement (ExampleParquetWriter.java:46-52
         # + Schema.java:171-174): validate every table before encoding
         self.schema = schema
@@ -495,7 +504,10 @@ class EncodeWorker:
             "row_start": int(spec["row_start"]),
             "row_end": int(spec["row_end"]),
         }
-        blob = encode_table(table, meta={"pid": pid, "lineage": lineage}, zstd=self.zstd)
+        blob = encode_table(
+            table, meta={"pid": pid, "lineage": lineage}, zstd=self.zstd,
+            bloom_cols=self.bloom_cols,
+        )
         t_enc = time.monotonic() - t0
         metrics = {
             "pid": pid,
@@ -519,9 +531,10 @@ class EncodeWorker:
 
 
 def _encode_specs(
-    batch: pa.Table, out_dir: str, fp: str, columns, zstd: bool, schema=None
+    batch: pa.Table, out_dir: str, fp: str, columns, zstd: bool, schema=None,
+    bloom_cols=None,
 ) -> pa.Table:
-    w = EncodeWorker(out_dir, fp, columns, zstd, schema=schema)
+    w = EncodeWorker(out_dir, fp, columns, zstd, schema=schema, bloom_cols=bloom_cols)
     return w(batch)
 
 
@@ -536,6 +549,7 @@ def encode_dataset(
     compute: str = "tasks",
     schema=None,
     snap_frac: float = DEFAULT_SNAP_FRAC,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Plan → encode all partitions (skipping complete ones) → summary.
 
@@ -552,7 +566,10 @@ def encode_dataset(
     import ray.data
 
     os.makedirs(out_dir, exist_ok=True)
-    plan = plan_partitions(input_paths, target_tokens, token_col, columns, snap_frac=snap_frac)
+    plan = plan_partitions(
+        input_paths, target_tokens, token_col, columns, snap_frac=snap_frac,
+        bloom_cols=bloom_cols,
+    )
     mf.atomic_write_json(os.path.join(out_dir, "plan.json"), plan)
     # drop leftovers of a DIFFERENT plan over this out_dir (same-plan
     # manifests survive untouched — that's the resume path)
@@ -570,6 +587,7 @@ def encode_dataset(
             fn_constructor_kwargs={
                 "out_dir": out_dir, "fp": plan["fingerprint"],
                 "columns": columns, "zstd": zstd, "schema": schema,
+                "bloom_cols": bloom_cols,
             },
             concurrency=concurrency,
             **kw,
@@ -584,6 +602,7 @@ def encode_dataset(
             fn_kwargs={
                 "out_dir": out_dir, "fp": plan["fingerprint"],
                 "columns": columns, "zstd": zstd, "schema": schema,
+                "bloom_cols": bloom_cols,
             },
             **kw,
         )

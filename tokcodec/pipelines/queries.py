@@ -1523,6 +1523,24 @@ def _pack_oracle_sql() -> str:
     )
 
 
+def point_lookup_documents(sf_dir: str):
+    """Bloom-filter point lookup on OUR OWN format: encode documents
+    into TOKB blocks with a doc_id bloom (unsorted layout — min/max
+    zone maps CANNOT prune an id lookup here), then decode with
+    `doc_id == <min id>`: every non-matching block skips at the header
+    read via the bloom probe.  Oracle = the same point lookup in SQL."""
+    from tokcodec.pipelines.encode import decode_dataset
+    from tokcodec.sources.sink import TokbDatasink
+
+    out = _scratch_dir("bloomq", sf_dir)
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    ds.repartition(8).write_datasink(TokbDatasink(out, bloom_cols=["doc_id"]))
+    target = (
+        _rp(sf_dir, "documents", columns=["doc_id"]).min("doc_id")
+    )
+    return decode_dataset(out, predicate=col("doc_id") == target)
+
+
 def sidecar_quality_documents(sf_dir: str):
     """Sidecar append on OUR OWN format: encode documents (doc_id, text)
     into TOKB blocks, attach a q_words column as a SIDECAR (base blocks
@@ -1640,6 +1658,7 @@ def build_queries() -> dict:
         "docs_stats_by_lang": docs_stats_by_lang,  # agg twin of agg_lineitem_pricing
         "predicate_negation_orders": predicate_negation_orders,  # NOT: pytest + OR twin
         "sidecar_quality_documents": sidecar_quality_documents,  # column append, no rewrite
+        "point_lookup_documents": point_lookup_documents,  # bloom block skipping
     }
     return qs
 
@@ -1705,6 +1724,10 @@ def build_oracle_sql() -> dict:
         "sidecar_quality_documents": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
             " AS q_words FROM documents"
+        ),
+        "point_lookup_documents": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id = (SELECT min(doc_id) FROM documents)"
         ),
         "agg_lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "

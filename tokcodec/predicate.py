@@ -33,6 +33,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
+from tokcodec.bloom import might_contain
+
 
 def _resolve(table: pa.Table, parts: tuple[str, ...]):
     """Walk a dotted path: top-level column, then struct fields
@@ -144,6 +146,11 @@ def _cmp_stats(parts: tuple[str, ...], op: str, lit: Any) -> Callable[[dict], bo
         s = stats.get(name)
         if s is None:
             return True
+        if op == "==" and "bloom" in s:
+            # per-block bloom (PARQUET-41 role): provably-absent point
+            # lookups skip even when [min, max] straddles the literal
+            if not might_contain(s["bloom"], lit):
+                return False
         if "min" not in s or "max" not in s:
             # min/max absent: prune ONLY when provably all-null (every
             # comparison null → filtered); otherwise the stats were
@@ -263,6 +270,9 @@ class Col:
             s = stats.get(name)
             if s is None:
                 return True
+            if "bloom" in s:
+                if not any(might_contain(s["bloom"], v) for v in vals):
+                    return False
             if "min" not in s or "max" not in s:
                 return s.get("nulls", 0) < s.get("n", 1)
             return any(s["min"] <= v <= s["max"] for v in vals)

@@ -32,10 +32,12 @@ class TokbDatasink(Datasink):
     enforcement (ExampleParquetWriter.java:46-52 resolves the schema,
     Schema.java:171-174 checks each record's repetition at write)."""
 
-    def __init__(self, out_dir: str, zstd: bool = True, schema=None):
+    def __init__(self, out_dir: str, zstd: bool = True, schema=None,
+                 bloom_cols: list[str] | None = None):
         self.out_dir = out_dir
         self.zstd = zstd
         self.schema = schema
+        self.bloom_cols = bloom_cols
 
     def on_write_start(self):
         os.makedirs(self.out_dir, exist_ok=True)
@@ -60,7 +62,10 @@ class TokbDatasink(Datasink):
             if self.schema is not None:
                 self.schema.validate_table(t)  # fail fast, with field context
             name = f"part-{ctx.task_idx:05d}-{seq:03d}"
-            blob = encode_table(t, meta={"task": ctx.task_idx, "seq": seq}, zstd=self.zstd)
+            blob = encode_table(
+                t, meta={"task": ctx.task_idx, "seq": seq}, zstd=self.zstd,
+                bloom_cols=self.bloom_cols,
+            )
             path = os.path.join(self.out_dir, name + ".tokb")
             mf.atomic_write_bytes(path, blob)
             import hashlib
