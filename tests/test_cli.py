@@ -90,3 +90,17 @@ def test_cli_ingest_jsonl(ray_session, tmp_path, capsys):
     res = _run(capsys, "ingest", "--input", str(src), "--out", out)
     assert res["rows"] == 50 and res["blocks"] >= 1
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_cli_compact(ray_session, fixture_parquet, tmp_path, capsys):
+    import ray
+
+    from tokcodec.sources.sink import TokbDatasink
+
+    tiny = str(tmp_path / "tiny")
+    ray.data.read_parquet(fixture_parquet, columns=["doc_id", "tokens", "n_tok"]) \
+        .repartition(12).write_datasink(TokbDatasink(tiny))
+    out = str(tmp_path / "compacted")
+    res = _run(capsys, "compact", "--input", tiny, "--out", out,
+               "--target-tokens", "100000000")
+    assert res["buckets"] == 1 and res["rows"] == 5000

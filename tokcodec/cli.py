@@ -7,6 +7,8 @@
     python -m tokcodec.cli plan    --input DIR_OR_FILE [--target-tokens N]
     python -m tokcodec.cli ingest  --input DOCS --out DIR
         [--format jsonl|csv|parquet] [--text-col text] [--id-col doc_id]
+    python -m tokcodec.cli compact --input ENC_DIR --out NEW_DIR
+        [--target-tokens N] [--bloom-cols a,b]
     python -m tokcodec.cli synth   --out FILE --rows N [--seed S]
 
 This module owns a Ray session (unlike the library); on a cluster,
@@ -214,6 +216,21 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from tokcodec.pipelines.compact import compact_blocks
+
+    _init_ray(args.num_cpus)
+    res = compact_blocks(
+        args.input,
+        args.out,
+        target_tokens=args.target_tokens,
+        zstd=not args.no_zstd,
+        bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
+    )
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from tokcodec.synth import write_fixture
 
@@ -260,6 +277,15 @@ def main(argv=None) -> int:
     pl.add_argument("--token-col", default="n_tok")
     common(pl)
     pl.set_defaults(fn=cmd_plan)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--target-tokens", type=int, default=32_000_000)
+    cp.add_argument("--no-zstd", action="store_true")
+    cp.add_argument("--bloom-cols", default=None)
+    common(cp)
+    cp.set_defaults(fn=cmd_compact)
 
     ig = sub.add_parser("ingest")
     ig.add_argument("--input", required=True)
