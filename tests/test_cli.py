@@ -104,3 +104,26 @@ def test_cli_compact(ray_session, fixture_parquet, tmp_path, capsys):
     res = _run(capsys, "compact", "--input", tiny, "--out", out,
                "--target-tokens", "100000000")
     assert res["buckets"] == 1 and res["rows"] == 5000
+
+
+def test_cli_audit_detects_corruption(ray_session, fixture_parquet, tmp_path, capsys):
+    enc = str(tmp_path / "enc_audit")
+    _run(capsys, "encode", "--input", fixture_parquet, "--out", enc,
+         "--target-tokens", "2000000")
+    res = _run(capsys, "audit", "--encoded", enc)
+    assert res["corrupt"] == [] and res["ok"] == res["blocks"]
+
+    # flip one payload byte -> audit must flag exactly that block
+    blocks = sorted(f for f in os.listdir(enc) if f.endswith(".tokb"))
+    victim = os.path.join(enc, blocks[0])
+    data = bytearray(open(victim, "rb").read())
+    data[-1] ^= 0xFF
+    open(victim, "wb").write(bytes(data))
+    from tokcodec.cli import main as _main
+
+    rc = _main(["audit", "--encoded", enc])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json as _json
+
+    res2 = _json.loads(out)
+    assert rc == 1 and res2["corrupt"] == [blocks[0]]
