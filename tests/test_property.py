@@ -147,3 +147,47 @@ def test_table_roundtrip_with_nulls_property(rows):
     )
     back, _ = decode_table(encode_table(t))
     assert back.equals(t)
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), slice_at=st.integers(0, 50))
+def test_extended_type_table_roundtrip_property(seed, slice_at):
+    """Random tables mixing the extended column types (dictionary,
+    fixed-size list/binary, f16, duration, decimal) with random nulls and
+    a random slice offset must round-trip bit-identical."""
+    import decimal as _dec
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(51, 200))
+
+    def nulls(vals):
+        return [None if rng.random() < 0.15 else v for v in vals]
+
+    t = pa.table(
+        {
+            "d": pa.array(
+                nulls([f"s{int(v)}" for v in rng.integers(0, 8, n)])
+            ).dictionary_encode(),
+            "emb": pa.array(
+                nulls([[float(x) for x in rng.normal(size=4)] for _ in range(n)]),
+                pa.list_(pa.float32(), 4),
+            ),
+            "h": pa.array(
+                nulls([rng.bytes(8) for _ in range(n)]), pa.binary(8)
+            ),
+            "f16": pa.array(
+                nulls([np.float16(x) for x in rng.normal(size=n)]), pa.float16()
+            ),
+            "dur": pa.array(
+                nulls([int(v) for v in rng.integers(-10**6, 10**6, n)]),
+                pa.duration("us"),
+            ),
+            "dec": pa.array(
+                nulls([_dec.Decimal(int(v)) / 100 for v in rng.integers(-10**6, 10**6, n)]),
+                pa.decimal128(12, 2),
+            ),
+        }
+    )
+    window = t.slice(slice_at, n - slice_at).combine_chunks()
+    back, _ = decode_table(encode_table(window))
+    assert back.equals(window)

@@ -93,10 +93,12 @@ def encode_array(arr: pa.Array) -> dict:
     t = arr.type
     if pa.types.is_dictionary(t):
         # Parquet readers commonly hand back dictionary-encoded string
-        # columns; store the logical values — the serialized block schema
-        # remembers the dictionary type and decode re-encodes on the way
-        # out, so the caller sees the type it wrote.
-        return encode_array(pc.cast(arr, t.value_type))
+        # columns.  Store indices and dictionary as separate child trees:
+        # bit-identical roundtrip (a rebuilt dictionary would reorder /
+        # drop unreferenced entries and fail physical equality) and the
+        # int codecs get the already-dictionary-compressed indices.
+        dk = {"idx": encode_array(arr.indices), "dict": encode_array(arr.dictionary)}
+        return _node("col", {"kind": "dictenc", "ordered": bool(t.ordered)}, k=dk)
     if pa.types.is_null(t):
         return _node("col", {"kind": "null", "n": len(arr)}, k={})
     k: dict = {}
@@ -192,7 +194,11 @@ def _validity_buffer(mask: np.ndarray | None):
 
 def decode_array(enc: dict, t: pa.DataType) -> pa.Array:
     if pa.types.is_dictionary(t):
-        # stored as logical values (see encode_array); re-encode on exit
+        if enc["m"]["kind"] == "dictenc":
+            idx = decode_array(enc["k"]["idx"], t.index_type)
+            dic = decode_array(enc["k"]["dict"], t.value_type)
+            return pa.DictionaryArray.from_arrays(idx, dic, ordered=t.ordered)
+        # legacy logical-value storage: re-encode on exit
         d = pc.dictionary_encode(decode_array(enc, t.value_type))
         if d.type != t:
             d = pa.DictionaryArray.from_arrays(
@@ -520,6 +526,8 @@ def codec_summary(header: dict) -> dict:
                 return f"list(len={walk(k['len'])},values={walk(k['values'])})"
             if kind == "fsl":
                 return f"fsl(values={walk(k['values'])})"
+            if kind == "dictenc":
+                return f"dictenc(idx={walk(k['idx'])},dict={walk(k['dict'])})"
             if kind == "null":
                 return "null"
             if kind == "struct":

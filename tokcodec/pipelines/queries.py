@@ -1541,6 +1541,23 @@ def point_lookup_documents(sf_dir: str):
     return decode_dataset(out, predicate=col("doc_id") == target)
 
 
+def compact_roundtrip_documents(sf_dir: str):
+    """Compaction on OUR OWN format: encode documents into MANY tiny
+    blocks (streaming sink, 16 partitions), compact into one
+    target-sized block set, decode.  Oracle = the source table — any
+    lost/duplicated/reordered-within-block row breaks the hash."""
+    from tokcodec.pipelines.compact import compact_blocks
+    from tokcodec.pipelines.encode import decode_dataset
+    from tokcodec.sources.sink import TokbDatasink
+
+    tiny = _scratch_dir("cmp_tiny", sf_dir)
+    out = _scratch_dir("cmp_out", sf_dir)
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    ds.repartition(16).write_datasink(TokbDatasink(tiny))
+    compact_blocks(tiny, out, target_tokens=10**12)
+    return decode_dataset(out)
+
+
 def sidecar_quality_documents(sf_dir: str):
     """Sidecar append on OUR OWN format: encode documents (doc_id, text)
     into TOKB blocks, attach a q_words column as a SIDECAR (base blocks
@@ -1659,6 +1676,7 @@ def build_queries() -> dict:
         "predicate_negation_orders": predicate_negation_orders,  # NOT: pytest + OR twin
         "sidecar_quality_documents": sidecar_quality_documents,  # column append, no rewrite
         "point_lookup_documents": point_lookup_documents,  # bloom block skipping
+        "compact_roundtrip_documents": compact_roundtrip_documents,  # small-files merge
     }
     return qs
 
@@ -1728,6 +1746,9 @@ def build_oracle_sql() -> dict:
         "point_lookup_documents": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id = (SELECT min(doc_id) FROM documents)"
+        ),
+        "compact_roundtrip_documents": (
+            "SELECT doc_id, lang, n_chars FROM documents"
         ),
         "agg_lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
