@@ -99,8 +99,29 @@ def test_bloom_roundtrips_decode_unchanged():
 
     t = pa.table({"doc_id": pa.array([f"d{i}" for i in range(100)]),
                   "n": pa.array(range(100), pa.int32())})
-    back, _ = decode_table(encode_table(t, bloom_cols=["doc_id", "n", "missing"]))
+    back, _ = decode_table(encode_table(t, bloom_cols=["doc_id", "n"]))
     assert back.equals(t)
+
+
+def test_unknown_bloom_col_fails_fast():
+    """A typo'd bloom column must raise, not silently skip — the user
+    would believe point lookups are pruned forever."""
+    from tokcodec.blocks import encode_table
+
+    t = pa.table({"doc_id": pa.array(["a", "b"])})
+    with pytest.raises(ValueError, match="bloom_cols not in table"):
+        encode_table(t, bloom_cols=["doc_idd"])
+
+
+def test_uint64_above_int63_no_crash_no_false_negative():
+    """64-bit hash-id columns (the natural bloom use case) must build
+    and probe across the full uint64 domain."""
+    vals = [2**63 + 5, 2**64 - 1, 7, 0]
+    b = build_bloom(pa.array(vals, pa.uint64()))
+    assert all(might_contain(b, v) for v in vals)
+    assert might_contain(b, 2**70) is True  # beyond any 64-bit domain: no claim
+    misses = sum(might_contain(b, v) for v in range(10**6, 10**6 + 2000))
+    assert misses < 100
 
 
 def test_encode_dataset_bloom_prunes_point_lookups(ray_session, fixture_parquet, tmp_path):

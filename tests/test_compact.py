@@ -87,3 +87,37 @@ def test_compact_can_add_blooms(small_blocks, ray_session, tmp_path):
     stats = header_stats(read_header_file(os.path.join(out, mans[0]["block"])))
     assert "bloom" in stats["doc_id"]
     assert (col("doc_id") == "no_such_doc").stats_may_match(stats) is False
+
+
+def test_compact_refuses_dir_with_foreign_blocks(small_blocks, ray_session, tmp_path):
+    """Compacting INTO a dir that already holds sink/planned blocks would
+    make decode concatenate both manifest sets (row duplication)."""
+    import shutil
+
+    out = str(tmp_path / "mixed")
+    shutil.copytree(small_blocks, out)
+    with pytest.raises(ValueError, match="non-compaction block"):
+        compact_blocks(small_blocks, out, target_tokens=10**9)
+
+
+def test_compact_resume_respects_config(small_blocks, ray_session, tmp_path):
+    """Re-running with different bloom/zstd settings must rebuild, not
+    silently resume bloomless blocks."""
+    from tokcodec.blocks import header_stats, read_header_file
+
+    out = str(tmp_path / "cfg")
+    r1 = compact_blocks(small_blocks, out, target_tokens=10**9)
+    r2 = compact_blocks(small_blocks, out, target_tokens=10**9, bloom_cols=["doc_id"])
+    assert r2["resumed"] == 0 and r2["rows"] > 0
+    man = mf.list_manifests(out)[0]
+    stats = header_stats(read_header_file(os.path.join(out, man["block"])))
+    assert "bloom" in stats["doc_id"]
+
+
+def test_compact_manifest_never_mislabels_rows_as_tokens(small_blocks, ray_session, tmp_path):
+    """Sink manifests carry no token counts; the compacted manifest must
+    not publish the row-count fallback mass under the n_tok key."""
+    out = str(tmp_path / "mass")
+    compact_blocks(small_blocks, out, target_tokens=10**9)
+    for man in mf.list_manifests(out):
+        assert "n_tok" not in man

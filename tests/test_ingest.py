@@ -91,3 +91,15 @@ def test_ingest_int_ids_become_strings(ray_session, tmp_path):
     got = _read_back(out)
     assert got.column("doc_id").to_pylist() == ["7"]
     assert got.column("source").to_pylist() == ["unknown"]
+
+
+def test_ingest_refuses_used_out_dir(ray_session, tmp_path):
+    """Block names key on executor task ids — re-ingesting over a used
+    dir would leave the first run's extra blocks in place and decode
+    would mix both corpora."""
+    src = tmp_path / "docs.jsonl"
+    src.write_text('{"doc_id": "a", "text": "hello world"}\n')
+    out = str(tmp_path / "out")
+    ingest_documents(str(src), out)
+    with pytest.raises(ValueError, match="fresh directory"):
+        ingest_documents(str(src), out)

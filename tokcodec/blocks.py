@@ -460,6 +460,14 @@ def encode_table(
     if len(set(table.column_names)) != len(table.column_names):
         dup = sorted({n for n in table.column_names if table.column_names.count(n) > 1})
         raise ValueError(f"duplicate column names not supported: {dup}")
+    if bloom_cols:
+        unknown = sorted(set(bloom_cols) - set(table.column_names))
+        if unknown:
+            # a typo'd bloom column must fail loudly — silently skipping
+            # means the user believes point lookups are pruned forever
+            raise ValueError(
+                f"bloom_cols not in table: {unknown} (have {table.column_names})"
+            )
     segments: list[bytes] = []
     cols = []
     for name in table.column_names:

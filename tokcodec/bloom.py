@@ -27,15 +27,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from tokcodec.functions.hashing import _FNV_PRIME, fnv1a_spans
+from tokcodec.functions.hashing import (
+    _FNV_OFFSET,
+    _FNV_OFFSET2,
+    _FNV_PRIME,
+    fnv1a_spans2,
+)
 
 _K = 6  # hash count; ~optimal for 10 bits/key, FP ≈ 1%
 _BITS_PER_KEY = 10
 _MIN_BITS = 64
-
-#: second FNV basis — same constant family as functions.hashing
-_FNV_OFFSET = 14695981039346656037
-_FNV_OFFSET2 = _FNV_OFFSET ^ 0x9E3779B97F4A7C15
 
 _SM_SEED1 = np.uint64(0x9E3779B97F4A7C15)
 _SM_SEED2 = np.uint64(0xBF58476D1CE4E5B9)
@@ -72,16 +73,19 @@ def _string_hash_pair(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
     starts = offsets[:-1]
     lengths = np.diff(offsets)
-    h1 = fnv1a_spans(data, starts, lengths, basis=_FNV_OFFSET)
-    h2 = fnv1a_spans(data, starts, lengths, basis=_FNV_OFFSET2)
-    return h1, h2
+    # both lanes in ONE shared byte-gather pass (~1.5x, not 2x)
+    return fnv1a_spans2(data, starts, lengths, _FNV_OFFSET, _FNV_OFFSET2)
 
 
 def _int_hash_pair(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     if arr.null_count:
         arr = arr.drop_null()
-    vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+    # astype, NOT a checked Arrow cast: uint64 values above int64 max
+    # must reinterpret (two's-complement domain), never raise; smaller
+    # signed widths sign-extend, matching the scalar probe's domains
+    native = arr.to_numpy(zero_copy_only=False)
+    vals = native.astype(np.uint64)
     return _mix64(vals, _SM_SEED1), _mix64(vals, _SM_SEED2)
 
 
@@ -95,10 +99,13 @@ def _scalar_hash_pair(value, is_string: bool) -> tuple[int, int] | None:
                 h = ((h ^ c) * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
             out.append(h)
         return out[0], out[1]
-    try:
-        v = np.array([int(value)], dtype=np.int64).view(np.uint64)
-    except (OverflowError, ValueError, TypeError):
-        return None
+    iv = int(value)
+    if 0 <= iv < 2**64:
+        v = np.array([iv], dtype=np.uint64)
+    elif -(2**63) <= iv < 0:
+        v = np.array([iv], dtype=np.int64).astype(np.uint64)
+    else:
+        return None  # outside any 64-bit column's domain: no claim
     return int(_mix64(v, _SM_SEED1)[0]), int(_mix64(v, _SM_SEED2)[0])
 
 
@@ -167,7 +174,12 @@ def might_contain(bloom: dict, value) -> bool:
         return True
     h1, h2 = pair
     m = bloom["m"]
-    packed = np.frombuffer(base64.b64decode(bloom["b64"]), dtype=np.uint8)
+    packed = bloom.get("_bits")
+    if packed is None:
+        # cache the decoded bitmap on the dict: isin() probes the same
+        # filter once per candidate value — decode once, not per probe
+        packed = np.frombuffer(base64.b64decode(bloom["b64"]), dtype=np.uint8)
+        bloom["_bits"] = packed
     for i in range(bloom["k"]):
         idx = (h1 + i * h2) % m
         if not (packed[idx >> 3] >> (idx & 7)) & 1:

@@ -58,7 +58,7 @@ def cmd_encode(args) -> int:
         columns=columns,
         token_col=args.token_col,
         zstd=not args.no_zstd,
-        bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
+        bloom_cols=[c.strip() for c in args.bloom_cols.split(",")] if args.bloom_cols else None,
     )
     mets = res["metrics"]
     summary = {
@@ -263,7 +263,7 @@ def cmd_compact(args) -> int:
         args.out,
         target_tokens=args.target_tokens,
         zstd=not args.no_zstd,
-        bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
+        bloom_cols=[c.strip() for c in args.bloom_cols.split(",")] if args.bloom_cols else None,
     )
     print(json.dumps(res))
     return 0

@@ -32,13 +32,15 @@ from tokcodec import manifest as mf
 from tokcodec.blocks import decode_file, encode_table
 
 
-def _mass(man: dict) -> int:
+def _mass(man: dict) -> tuple[int, bool]:
+    """(mass, is_token_mass): true token counts when the manifest has
+    them, row counts otherwise — callers must not label rows as tokens."""
     m = man.get("metrics") or {}
     for src in (man, m):
         v = src.get("n_tok")
         if v:
-            return int(v)
-    return int(man.get("rows", (man.get("metrics") or {}).get("rows", 1)) or 1)
+            return int(v), True
+    return int(man.get("rows", (man.get("metrics") or {}).get("rows", 1)) or 1), False
 
 
 def _ident(man: dict) -> str:
@@ -57,7 +59,7 @@ def plan_compaction(in_dir: str, target_tokens: int) -> list[dict]:
     cur: list[dict] = []
     cur_mass = 0
     for man in mans:
-        w = _mass(man)
+        w, _tok = _mass(man)
         if cur and cur_mass + w > target_tokens:
             buckets.append(cur)
             cur, cur_mass = [], 0
@@ -70,7 +72,8 @@ def plan_compaction(in_dir: str, target_tokens: int) -> list[dict]:
             "bucket": i,
             "blocks": [m["block"] for m in bs],
             "idents": [_ident(m) for m in bs],
-            "mass": sum(_mass(m) for m in bs),
+            "mass": sum(_mass(m)[0] for m in bs),
+            "token_mass": all(_mass(m)[1] for m in bs),
         }
         for i, bs in enumerate(buckets)
     ]
@@ -91,11 +94,26 @@ def compact_blocks(
         raise ValueError("compact in place is not supported: pick a new out_dir")
     os.makedirs(out_dir, exist_ok=True)
     plan = plan_compaction(in_dir, target_tokens)
+    # resume identity includes the encode config: re-running with
+    # different blooms/zstd must rebuild, not silently skip (the same
+    # invariant the planned path's fingerprint enforces)
+    cfg = {"zstd": bool(zstd), "bloom_cols": sorted(bloom_cols or [])}
 
     existing = {}
+    foreign = []
     for man in mf.list_manifests(out_dir):
         if "members" in man:
             existing[man["bucket"]] = man
+        else:
+            foreign.append(man["block"])
+    if foreign:
+        # decode_dataset lists EVERY manifest in a dir — mixing compacted
+        # blocks into a dir that already holds sink/planned blocks would
+        # silently duplicate each row on decode
+        raise ValueError(
+            f"{out_dir} holds {len(foreign)} non-compaction block(s) "
+            f"(e.g. {foreign[0]}); compact into a fresh directory"
+        )
 
     todo = []
     resumed = 0
@@ -111,12 +129,14 @@ def compact_blocks(
             size_ok
             and prev["members"] == spec["blocks"]
             and prev["member_idents"] == spec["idents"]
+            and prev.get("config") == cfg
         ):
             resumed += 1
             continue
         todo.append(spec)
 
     def _compact(batch: pa.Table) -> pa.Table:
+        # cfg is captured by value via cloudpickle with the closure
         out = []
         for spec in batch.to_pylist():
             tabs = [
@@ -135,12 +155,16 @@ def compact_blocks(
                 "block": name + ".tokb",
                 "bucket": spec["bucket"],
                 "rows": merged.num_rows,
-                "n_tok": int(spec["mass"]),
                 "bytes_out": len(blob),
                 "checksum": hashlib.sha256(blob).hexdigest(),
                 "members": list(spec["blocks"]),
                 "member_idents": list(spec["idents"]),
+                "config": cfg,
             }
+            if spec["token_mass"]:
+                # only label token masses as tokens; a row-count fallback
+                # mass must not masquerade as n_tok downstream
+                man["n_tok"] = int(spec["mass"])
             mf.atomic_write_json(
                 os.path.join(out_dir, name + ".manifest.json"), man
             )
