@@ -1592,13 +1592,19 @@ def build_queries() -> dict:
     # NOT path is also pytest-covered and sibling to predicate_or_events —
     # past the window for shuffle_documents, and sample_documents — a
     # hash-threshold twin of split/mix/quota — past the window for
-    # dedup_ngram_recall).  Entries past slot 50 are either
-    # rows-only by design (encode_stats) or oracled twins of a visible
-    # query (md5-parity dedup, second agg, shuffle-join vs broadcast-join,
-    # etc.) — still runnable via tools/check_oracle.py.  The raw
-    # signature-dump queries from earlier rounds (rolling_hash, minhash /
-    # simhash sig lists, raw ann_lsh/ann_ivf top-k) were retired: each is
-    # fully covered by its oracled recall-bar twin plus pytest.
+    # dedup_ngram_recall; the round-4 sidecar / bloom point-lookup /
+    # compaction queries then displaced predicate_dates_lineitem and
+    # predicate_isin_part — date/IN siblings of the three visible
+    # predicate queries, pytest-covered, driver-green rounds 1-3 — and
+    # quantiles_lineitem_price, whose exact-quantile engine is a strict
+    # subset of the visible quantiles_by_lang).  Entries past slot 50 are
+    # either rows-only by design (encode_stats) or oracled twins of a
+    # visible query (md5-parity dedup, second agg, shuffle-join vs
+    # broadcast-join, etc.) — still runnable via tools/check_oracle.py.
+    # The raw signature-dump queries from earlier rounds (rolling_hash,
+    # minhash / simhash sig lists, raw ann_lsh/ann_ivf top-k) were
+    # retired: each is fully covered by its oracled recall-bar twin plus
+    # pytest.
     qs = {
         # --- reference surface: roundtrip / projection / predicates ---
         "roundtrip_documents": roundtrip(
@@ -1614,8 +1620,6 @@ def build_queries() -> dict:
         "projection_documents": projection_documents,
         "predicate_lineitem": predicate_lineitem,
         "predicate_or_events": predicate_or_events,
-        "predicate_dates_lineitem": predicate_dates_lineitem,
-        "predicate_isin_part": predicate_isin_part,
         "predicate_tokb_roundtrip": predicate_tokb_roundtrip,
         "predicate_tokb_nested": predicate_tokb_nested,
         "evolution_read_documents": evolution_read_documents,
@@ -1633,7 +1637,6 @@ def build_queries() -> dict:
         "vocab_remap_events": vocab_remap_events,
         "topk_documents": topk_documents,
         "topk_per_source": topk_per_source,
-        "quantiles_lineitem_price": quantiles_lineitem_price,
         "quantiles_by_lang": quantiles_by_lang,
         "approx_quantiles_check": approx_quantiles_check,
         "window_events": window_events,
@@ -1663,6 +1666,10 @@ def build_queries() -> dict:
         "pack_chunks_documents": pack_chunks_documents,
         "multimodal_features": multimodal_features,
         "shuffle_documents": shuffle_documents,
+        # --- round-4 block layer: sidecar append / bloom lookup / compaction ---
+        "sidecar_quality_documents": sidecar_quality_documents,  # column append, no rewrite
+        "point_lookup_documents": point_lookup_documents,  # bloom block skipping
+        "compact_roundtrip_documents": compact_roundtrip_documents,  # small-files merge
         # ---- slot 51+: outside the driver's CORRECTNESS window ----
         "encode_stats_documents": encode_stats("documents"),  # rows-only by design
         "sample_documents": sample_documents,  # hash-threshold twin of split/mix/quota
@@ -1674,9 +1681,9 @@ def build_queries() -> dict:
         "multimodal_meta_documents": multimodal_meta_documents,
         "docs_stats_by_lang": docs_stats_by_lang,  # agg twin of agg_lineitem_pricing
         "predicate_negation_orders": predicate_negation_orders,  # NOT: pytest + OR twin
-        "sidecar_quality_documents": sidecar_quality_documents,  # column append, no rewrite
-        "point_lookup_documents": point_lookup_documents,  # bloom block skipping
-        "compact_roundtrip_documents": compact_roundtrip_documents,  # small-files merge
+        "predicate_dates_lineitem": predicate_dates_lineitem,  # date twin of visible predicates
+        "predicate_isin_part": predicate_isin_part,  # IN-list twin of visible predicates
+        "quantiles_lineitem_price": quantiles_lineitem_price,  # subset of quantiles_by_lang
     }
     return qs
 
