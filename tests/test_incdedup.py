@@ -1,0 +1,133 @@
+"""Incremental exact dedup against a persisted hash index: batch-order
+semantics, retry idempotence, run-scoped exclusion, index compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from tokcodec.functions.incdedup import (
+    _ensure_meta,
+    compact_index,
+    dedup_against_index,
+)
+
+N_BUCKETS = 8  # small so several buckets actually receive rows
+
+
+def _batch(rows: list[tuple[str, str]]):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+            }
+        )
+    )
+
+
+SEED = [
+    ("s1", "the quick brown fox"),
+    ("s2", "jumps over the lazy dog"),
+    ("s3", "the quick brown fox"),  # dup within seed: s1 wins
+    ("s4", "pack my box"),
+]
+NEW = [
+    ("n1", "five dozen jugs"),            # genuinely new
+    ("n2", "the quick brown fox"),        # known from seed: dropped
+    ("n3", "five dozen jugs"),            # dup within batch: n1 wins
+    ("n0", "pack my box"),                # known, even though n0 < s4
+    ("n4", "grumpy wizards make toxic brew"),
+]
+
+
+def _ids(ds) -> list[str]:
+    df = ds.to_pandas()  # Ray drops the schema of a fully-empty dataset
+    return sorted(df["doc_id"]) if len(df) else []
+
+
+@pytest.fixture()
+def index_dir(tmp_path):
+    return str(tmp_path / "idx")
+
+
+def test_seed_then_incremental(ray_session, index_dir):
+    got = _ids(dedup_against_index(_batch(SEED), index_dir,
+                                   n_buckets=N_BUCKETS, run_id="seed"))
+    assert got == ["s1", "s2", "s4"]
+
+    got2 = _ids(dedup_against_index(_batch(NEW), index_dir,
+                                    n_buckets=N_BUCKETS, run_id="b1"))
+    # n2/n0 known (regardless of id order vs the seed), n3 loses to n1
+    assert got2 == ["n1", "n4"]
+
+    # a third batch repeating everything accepted so far: nothing passes
+    all_rows = SEED + NEW
+    got3 = _ids(dedup_against_index(_batch(all_rows), index_dir,
+                                    n_buckets=N_BUCKETS, run_id="b2"))
+    assert got3 == []
+
+
+def test_retry_same_run_id_is_idempotent(ray_session, index_dir):
+    dedup_against_index(_batch(SEED), index_dir, n_buckets=N_BUCKETS, run_id="seed")
+    first = _ids(dedup_against_index(_batch(NEW), index_dir,
+                                     n_buckets=N_BUCKETS, run_id="b1"))
+    # the crashed-job re-run: the index already holds b1's own files,
+    # but run-scoped exclusion means the verdicts don't change
+    retry = _ids(dedup_against_index(_batch(NEW), index_dir,
+                                     n_buckets=N_BUCKETS, run_id="b1"))
+    assert retry == first == ["n1", "n4"]
+
+
+def test_read_only_mode_does_not_update(ray_session, index_dir):
+    dedup_against_index(_batch(SEED), index_dir, n_buckets=N_BUCKETS, run_id="seed")
+    q = _ids(dedup_against_index(_batch(NEW), index_dir, n_buckets=N_BUCKETS,
+                                 update_index=False, run_id="q"))
+    assert q == ["n1", "n4"]
+    # nothing was persisted: the same question answers the same way
+    assert _ids(dedup_against_index(_batch(NEW), index_dir, n_buckets=N_BUCKETS,
+                                    update_index=False, run_id="q2")) == ["n1", "n4"]
+
+
+def test_bucket_config_pinned(ray_session, index_dir):
+    dedup_against_index(_batch(SEED), index_dir, n_buckets=N_BUCKETS, run_id="seed")
+    with pytest.raises(ValueError, match="n_buckets"):
+        dedup_against_index(_batch(NEW), index_dir, n_buckets=2 * N_BUCKETS, run_id="b")
+    with pytest.raises(ValueError, match="power of two"):
+        _ensure_meta(index_dir + "2", 12)
+    with pytest.raises(ValueError, match="power of two"):
+        _ensure_meta(index_dir + "3", 1)
+
+
+def test_compact_index_folds_files(ray_session, index_dir):
+    dedup_against_index(_batch(SEED), index_dir, n_buckets=N_BUCKETS, run_id="seed")
+    dedup_against_index(_batch(NEW), index_dir, n_buckets=N_BUCKETS, run_id="b1")
+
+    def n_files():
+        return sum(
+            len([f for f in os.listdir(os.path.join(index_dir, d)) if f.endswith(".parquet")])
+            for d in os.listdir(index_dir)
+            if d.startswith("bucket=")
+        )
+
+    before = n_files()
+    res = compact_index(index_dir)
+    assert res["hashes"] == 5  # 5 distinct texts accepted overall
+    assert n_files() < before
+    # every remaining file is the folded one
+    for d in os.listdir(index_dir):
+        if d.startswith("bucket="):
+            fs = [f for f in os.listdir(os.path.join(index_dir, d)) if f.endswith(".parquet")]
+            assert fs in ([], ["compact.parquet"])
+    # semantics unchanged after compaction
+    got = _ids(dedup_against_index(_batch(SEED + NEW), index_dir,
+                                   n_buckets=N_BUCKETS, run_id="b2"))
+    assert got == []
+    # and a genuinely new doc still passes
+    got2 = _ids(dedup_against_index(_batch([("z1", "a brand new sentence")]),
+                                    index_dir, n_buckets=N_BUCKETS, run_id="b3"))
+    assert got2 == ["z1"]

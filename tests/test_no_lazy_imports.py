@@ -26,6 +26,7 @@ WORKER_MODULES = [
     "tokcodec/codecs/util.py",
     "tokcodec/functions/text.py",
     "tokcodec/functions/dedup.py",
+    "tokcodec/functions/incdedup.py",
     "tokcodec/functions/ann.py",
     "tokcodec/functions/multimodal.py",
     "tokcodec/functions/hashing.py",

@@ -1,0 +1,236 @@
+"""Incremental exact dedup against a persisted hash index.
+
+At 100 TB the corpus is not deduplicated once: batches keep arriving
+(daily crawls, new sources) and each must be deduped against EVERYTHING
+already accepted — without rescanning the accepted corpus.  The minimal
+persisted state is the 128-bit content hashes of accepted docs
+(`text.fnv128`, the same key exact_dedup uses), hash-partitioned into
+``n_buckets`` directories: ``index_dir/bucket=K/`` holds parquet files
+of (h1, h2) int64 pairs, K = h1's top ``log2(n_buckets)`` bits.
+
+``dedup_against_index`` is one `map_batches` + one bucket exchange:
+
+1. per input block: fnv128 + per-(h1,h2) MIN(id) partial + bucket id —
+   at most one candidate row per distinct content per block shuffles;
+2. `groupby(bucket).map_groups` (pyarrow frames; groups == buckets, a
+   BOUNDED count, so the per-group-Python overhead pattern the rest of
+   the package avoids for near-unique keys is the right tool here):
+   each group folds cross-block minima, reads ONLY its own bucket's
+   index shard (1/n_buckets of the index), drops known hashes with one
+   native `left anti` join, and — with ``update_index`` — appends the
+   survivors' hashes as ONE new file named by ``run_id``;
+3. the returned Dataset holds the accepted (id, h1, h2) rows.
+
+Durability/idempotence: shard files are written atomically (temp +
+rename) and the anti-join EXCLUDES files of the current ``run_id``, so
+a crashed batch re-runs to the identical result — its own half-written
+state can never mask its docs.  Distinct batches must use distinct
+run_ids; one writer at a time per index (the usual ingest-job
+contract).  Sizing: a shard is read whole per group, so pick
+``n_buckets`` such that accepted_docs × 16 B / n_buckets fits a worker
+heap (10^12 docs at 64 Ki buckets → ~244 MB/shard).  ``compact_index``
+folds each bucket's files into one (distinct) file, bounding per-run
+file growth.
+
+No reference-repo counterpart: one of the training-pipeline extras the
+round brief asks for beyond parquet-extra's operator surface; the
+within-batch semantics match functions/dedup.py::exact_dedup.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tokcodec.functions.text import fnv128
+from tokcodec.manifest import atomic_write_bytes, atomic_write_json
+
+_META = "index.json"
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _META)
+
+
+def _shard_dir(index_dir: str, bucket: int) -> str:
+    return os.path.join(index_dir, f"bucket={bucket:05d}")
+
+
+def _ensure_meta(index_dir: str, n_buckets: int) -> int:
+    """Create-or-validate the index config.  n_buckets is part of the
+    on-disk layout — a mismatched run would look up the wrong shards
+    and silently re-accept known docs, so it fails fast instead."""
+    if n_buckets & (n_buckets - 1) or n_buckets < 2:
+        # >= 2 keeps the bucket shift inside [0, 63] (a 64-bit shift is
+        # undefined for numpy uint64)
+        raise ValueError(f"n_buckets must be a power of two >= 2, got {n_buckets}")
+    import json
+
+    p = _meta_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            meta = json.load(f)
+        if meta["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"index at {index_dir} was built with n_buckets="
+                f"{meta['n_buckets']}, got {n_buckets}"
+            )
+        return n_buckets
+    os.makedirs(index_dir, exist_ok=True)
+    atomic_write_json(p, {"n_buckets": n_buckets, "key": "fnv128"})
+    return n_buckets
+
+
+def _shard_files(sd: str, exclude_run: str | None = None) -> list[str]:
+    if not os.path.isdir(sd):
+        return []
+    out = []
+    for name in sorted(os.listdir(sd)):
+        if not name.endswith(".parquet"):
+            continue
+        if exclude_run is not None and name == f"{exclude_run}.parquet":
+            continue
+        out.append(os.path.join(sd, name))
+    return out
+
+
+def _read_shard(sd: str, exclude_run: str | None = None) -> pa.Table | None:
+    files = _shard_files(sd, exclude_run)
+    if not files:
+        return None
+    return pa.concat_tables(pq.read_table(f, columns=["h1", "h2"]) for f in files)
+
+
+def _write_shard_file(sd: str, run_id: str, t: pa.Table) -> None:
+    os.makedirs(sd, exist_ok=True)
+    buf = io.BytesIO()
+    pq.write_table(t.select(["h1", "h2"]), buf, compression="zstd")
+    atomic_write_bytes(os.path.join(sd, f"{run_id}.parquet"), buf.getvalue())
+
+
+def dedup_against_index(
+    ds,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    update_index: bool = True,
+    run_id: str = "r0",
+):
+    """Drop every row whose content hash is already in the index (or
+    duplicated within `ds` — MIN(id) wins, as in exact_dedup); return
+    the accepted rows as a Dataset of (id_col, h1, h2).  With
+    ``update_index`` the accepted hashes are appended to the index
+    under ``run_id`` (atomic, retry-idempotent — see module docstring).
+    """
+    _ensure_meta(index_dir, n_buckets)
+    shift = np.uint64(64 - int(n_buckets).bit_length() + 1)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        lo, hi = fnv128(batch.column(text_col))
+        t = pa.table(
+            {
+                "h1": pa.array(lo.view(np.int64), pa.int64()),
+                "h2": pa.array(hi.view(np.int64), pa.int64()),
+                id_col: batch.column(id_col),
+            }
+        )
+        t = t.group_by(["h1", "h2"]).aggregate([(id_col, "min")])
+        h1u = t.column("h1").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "bucket": pa.array((h1u >> shift).astype(np.int64), pa.int64()),
+                "h1": t.column("h1"),
+                "h2": t.column("h2"),
+                id_col: t.column(f"{id_col}_min"),
+            }
+        )
+
+    def _resolve(t: pa.Table) -> pa.Table:
+        b = t.column("bucket")[0].as_py()
+        agg = t.group_by(["h1", "h2"]).aggregate([(id_col, "min")])
+        cand = pa.table(
+            {
+                "h1": agg.column("h1"),
+                "h2": agg.column("h2"),
+                id_col: agg.column(f"{id_col}_min"),
+            }
+        )
+        sd = _shard_dir(index_dir, int(b))
+        idx = _read_shard(sd, exclude_run=run_id if update_index else None)
+        if idx is not None:
+            cand = cand.join(idx, keys=["h1", "h2"], join_type="left anti")
+        if update_index:
+            # empty runs still write (an empty file), so a retry that
+            # lands AFTER a sibling run added these hashes can't flip
+            # this run's verdicts: exclusion is by name, not content
+            _write_shard_file(sd, run_id, cand)
+        return cand.select([id_col, "h1", "h2"])
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_resolve, batch_format="pyarrow")
+    )
+    if update_index:
+        # Datasets are lazy: an unconsumed (or twice-consumed) result
+        # would skip (or repeat) the shard writes.  Materializing pins
+        # exactly-once index updates; the accepted rows are a narrow
+        # (id, h1, h2) projection of the batch — they fit the object
+        # store and spill if not (the corpus text never materializes).
+        out = out.materialize()
+    return out
+
+
+def compact_index(index_dir: str) -> dict:
+    """Fold every bucket's files into one distinct-hash file (named
+    ``compact.parquet``) and remove the per-run files — bounds file
+    count growth across runs.  One Ray task per bucket; run it between
+    batches, never concurrently with a dedup run.  Returns
+    {"buckets", "hashes"}."""
+    import json
+
+    import ray.data
+
+    with open(_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    dirs = [
+        os.path.join(index_dir, d)
+        for d in sorted(os.listdir(index_dir))
+        if d.startswith("bucket=")
+    ]
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        out = []
+        for sd in batch.column("dir").to_pylist():
+            files = _shard_files(sd)
+            if not files:
+                out.append(0)
+                continue
+            merged = pa.concat_tables(
+                pq.read_table(f, columns=["h1", "h2"]) for f in files
+            )
+            distinct = merged.group_by(["h1", "h2"]).aggregate([])
+            _write_shard_file(sd, "compact", distinct)
+            for f in files:
+                if os.path.basename(f) != "compact.parquet":
+                    os.remove(f)
+            out.append(distinct.num_rows)
+        return pa.table({"hashes": pa.array(out, pa.int64())})
+
+    if not dirs:
+        return {"buckets": 0, "hashes": 0, "n_buckets": meta["n_buckets"]}
+    res = (
+        ray.data.from_items([{"dir": d} for d in dirs])
+        .map_batches(_fold, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    return {
+        "buckets": len(dirs),
+        "hashes": int(sum(r["hashes"] for r in res)),
+        "n_buckets": meta["n_buckets"],
+    }

@@ -1433,6 +1433,69 @@ def _shuffle_oracle_sql() -> str:
     )
 
 
+# ---------------------------------------------- incremental dedup ----
+
+
+def dedup_incremental_documents(sf_dir: str):
+    """Incremental exact dedup against a persisted hash index
+    (functions/incdedup.py): documents split deterministically into an
+    'existing corpus' (n_chars % 3 != 0), which seeds the index, and a
+    'new batch' (n_chars % 3 == 0) deduped against it.  The new batch
+    also carries injected overlap — echoes of existing docs (id + 1M,
+    same text: must drop regardless of id order) and self-duplicates
+    (id + 2M: min id wins within the batch) — so all three verdict
+    paths (new / known / within-batch dup) are exercised.  Result = the
+    accepted doc_ids of the new batch."""
+    from tokcodec.functions.incdedup import dedup_against_index
+
+    idx = _scratch_dir("incidx", sf_dir)
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def _part(rem_zero: bool):
+        def f(t: pa.Table) -> pa.Table:
+            nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+            mask = (nc % 3 == 0) if rem_zero else (nc % 3 != 0)
+            return t.filter(pa.array(mask)).select(["doc_id", "text"])
+
+        return f
+
+    def _offset_where(mod: int, off: int):
+        def f(t: pa.Table) -> pa.Table:
+            did = t.column("doc_id").to_numpy(zero_copy_only=False)
+            t2 = t.filter(pa.array(did % mod == 0))
+            return pa.table(
+                {
+                    "doc_id": pc.add(t2.column("doc_id"), off),
+                    "text": t2.column("text"),
+                }
+            )
+
+        return f
+
+    existing = ds.map_batches(_part(False), batch_format="pyarrow")
+    newbase = ds.map_batches(_part(True), batch_format="pyarrow")
+    newb = newbase.union(
+        existing.map_batches(_offset_where(5, 1_000_000), batch_format="pyarrow"),
+        newbase.map_batches(_offset_where(7, 2_000_000), batch_format="pyarrow"),
+    )
+    dedup_against_index(existing, idx, n_buckets=64, run_id="seed")
+    accepted = dedup_against_index(newb, idx, n_buckets=64, run_id="batch1")
+    return accepted.select_columns(["doc_id"])
+
+
+def _dedup_incremental_oracle_sql() -> str:
+    return (
+        "WITH existing AS (SELECT doc_id, text FROM documents WHERE n_chars % 3 <> 0), "
+        "newbase AS (SELECT doc_id, text FROM documents WHERE n_chars % 3 = 0), "
+        "echoes AS (SELECT doc_id + 1000000 AS doc_id, text FROM existing WHERE doc_id % 5 = 0), "
+        "selfdup AS (SELECT doc_id + 2000000 AS doc_id, text FROM newbase WHERE doc_id % 7 = 0), "
+        "newb AS (SELECT * FROM newbase UNION ALL SELECT * FROM echoes "
+        "UNION ALL SELECT * FROM selfdup) "
+        "SELECT MIN(doc_id) AS doc_id FROM newb "
+        "WHERE text NOT IN (SELECT text FROM existing) GROUP BY text"
+    )
+
+
 # --------------------------------------------------- sequence packing ----
 
 PACK_SEQ_LEN = 512
@@ -1684,6 +1747,7 @@ def build_queries() -> dict:
         "predicate_dates_lineitem": predicate_dates_lineitem,  # date twin of visible predicates
         "predicate_isin_part": predicate_isin_part,  # IN-list twin of visible predicates
         "quantiles_lineitem_price": quantiles_lineitem_price,  # subset of quantiles_by_lang
+        "dedup_incremental_documents": dedup_incremental_documents,  # index-backed twin of dedup_exact_fnv
     }
     return qs
 
@@ -1778,6 +1842,7 @@ def build_oracle_sql() -> dict:
         ),
         "quantiles_by_lang": _quantiles_by_lang_oracle_sql(),
         "approx_quantiles_check": _approx_quantiles_oracle_sql(),
+        "dedup_incremental_documents": _dedup_incremental_oracle_sql(),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "wordcount_topk_documents": (
             "SELECT w AS word, COUNT(*) AS n FROM (SELECT "
