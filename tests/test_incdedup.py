@@ -93,6 +93,18 @@ def test_read_only_mode_does_not_update(ray_session, index_dir):
                                     update_index=False, run_id="q2")) == ["n1", "n4"]
 
 
+def test_run_id_validated(ray_session, index_dir):
+    # "compact" is compact_index's reserved fold-file name: accepting it
+    # would exclude (then overwrite) the ENTIRE compacted index
+    with pytest.raises(ValueError, match="compact"):
+        dedup_against_index(_batch(SEED), index_dir, n_buckets=N_BUCKETS,
+                            run_id="compact")
+    for bad in ("", "a/b", "../esc", ".hidden"):
+        with pytest.raises(ValueError, match="run_id"):
+            dedup_against_index(_batch(SEED), index_dir, n_buckets=N_BUCKETS,
+                                run_id=bad)
+
+
 def test_bucket_config_pinned(ray_session, index_dir):
     dedup_against_index(_batch(SEED), index_dir, n_buckets=N_BUCKETS, run_id="seed")
     with pytest.raises(ValueError, match="n_buckets"):

@@ -35,6 +35,29 @@ _M61 = np.uint64((1 << 61) - 1)
 # ------------------------------------------------------------ exact ----
 
 
+def fnv_min_partial(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """(h1, h2, MIN(id)) per distinct content of one block — the
+    pre-shuffle partial shared by `exact_dedup` and
+    `incdedup.dedup_against_index`.  The by-name reselect guards
+    against pyarrow's version-dependent aggregate column order."""
+    lo, hi = fnv128(batch.column(text_col))
+    t = pa.table(
+        {
+            "h1": pa.array(lo.view(np.int64), pa.int64()),
+            "h2": pa.array(hi.view(np.int64), pa.int64()),
+            id_col: batch.column(id_col),
+        }
+    )
+    t = t.group_by(["h1", "h2"]).aggregate([(id_col, "min")])
+    return pa.table(
+        {
+            "h1": t.column("h1"),
+            "h2": t.column("h2"),
+            id_col: t.column(f"{id_col}_min"),
+        }
+    )
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 method: str = "fnv128"):
     """Keep MIN(id) per identical content.  Partial min per batch before
@@ -58,22 +81,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({"h": t.column("h"), id_col: t.column(f"{id_col}_min")})
 
     def partial_fnv(batch: pa.Table) -> pa.Table:
-        lo, hi = fnv128(batch.column(text_col))
-        t = pa.table(
-            {
-                "h1": pa.array(lo.view(np.int64), pa.int64()),
-                "h2": pa.array(hi.view(np.int64), pa.int64()),
-                id_col: batch.column(id_col),
-            }
-        )
-        t = t.group_by(["h1", "h2"]).aggregate([(id_col, "min")])
-        return pa.table(
-            {
-                "h1": t.column("h1"),
-                "h2": t.column("h2"),
-                id_col: t.column(f"{id_col}_min"),
-            }
-        )
+        return fnv_min_partial(batch, text_col, id_col)
 
     if method == "md5":
         return sorted_group_reduce(

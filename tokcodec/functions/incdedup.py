@@ -24,9 +24,16 @@ of (h1, h2) int64 pairs, K = h1's top ``log2(n_buckets)`` bits.
 Durability/idempotence: shard files are written atomically (temp +
 rename) and the anti-join EXCLUDES files of the current ``run_id``, so
 a crashed batch re-runs to the identical result — its own half-written
-state can never mask its docs.  Distinct batches must use distinct
-run_ids; one writer at a time per index (the usual ingest-job
-contract).  Sizing: a shard is read whole per group, so pick
+state can never mask its docs.  ``run_id`` is REQUIRED and validated
+(distinct per batch; reusing one re-adjudicates the earlier batch's
+docs as new and overwrites its shard files); one writer at a time per
+index (the usual ingest-job contract).
+
+Storage contract: ``index_dir`` must be visible at the same path from
+every Ray worker node — shared filesystem or a fuse/NFS mount of the
+object store — exactly like the encode pipeline's block dirs.  On a
+single-node sandbox the local filesystem satisfies this; on a real
+cluster a node-local path would silently fragment the index per node.  Sizing: a shard is read whole per group, so pick
 ``n_buckets`` such that accepted_docs × 16 B / n_buckets fits a worker
 heap (10^12 docs at 64 Ki buckets → ~244 MB/shard).  ``compact_index``
 folds each bucket's files into one (distinct) file, bounding per-run
@@ -41,15 +48,21 @@ from __future__ import annotations
 
 import io
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from tokcodec.functions.text import fnv128
+from tokcodec.functions.dedup import fnv_min_partial
 from tokcodec.manifest import atomic_write_bytes, atomic_write_json
 
 _META = "index.json"
+
+# shard files are named <run_id>.parquet; "compact" is compact_index's
+# reserved fold-file name, and anything outside this charset could
+# escape the shard dir or defeat the run-scoped exclusion
+_RUN_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
 
 
 def _meta_path(index_dir: str) -> str:
@@ -115,39 +128,32 @@ def _write_shard_file(sd: str, run_id: str, t: pa.Table) -> None:
 def dedup_against_index(
     ds,
     index_dir: str,
+    run_id: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 256,
     update_index: bool = True,
-    run_id: str = "r0",
 ):
     """Drop every row whose content hash is already in the index (or
     duplicated within `ds` — MIN(id) wins, as in exact_dedup); return
     the accepted rows as a Dataset of (id_col, h1, h2).  With
     ``update_index`` the accepted hashes are appended to the index
     under ``run_id`` (atomic, retry-idempotent — see module docstring).
-    """
+    ``run_id`` must be unique per batch: retrying a crashed batch
+    reuses it, a NEW batch must not (see module docstring)."""
+    if not _RUN_ID_RE.match(run_id) or run_id == "compact":
+        raise ValueError(
+            f"run_id must match {_RUN_ID_RE.pattern} and not be the "
+            f"reserved name 'compact', got {run_id!r}"
+        )
     _ensure_meta(index_dir, n_buckets)
     shift = np.uint64(64 - int(n_buckets).bit_length() + 1)
 
     def _partial(batch: pa.Table) -> pa.Table:
-        lo, hi = fnv128(batch.column(text_col))
-        t = pa.table(
-            {
-                "h1": pa.array(lo.view(np.int64), pa.int64()),
-                "h2": pa.array(hi.view(np.int64), pa.int64()),
-                id_col: batch.column(id_col),
-            }
-        )
-        t = t.group_by(["h1", "h2"]).aggregate([(id_col, "min")])
+        t = fnv_min_partial(batch, text_col, id_col)
         h1u = t.column("h1").to_numpy(zero_copy_only=False).astype(np.uint64)
-        return pa.table(
-            {
-                "bucket": pa.array((h1u >> shift).astype(np.int64), pa.int64()),
-                "h1": t.column("h1"),
-                "h2": t.column("h2"),
-                id_col: t.column(f"{id_col}_min"),
-            }
+        return t.add_column(
+            0, "bucket", pa.array((h1u >> shift).astype(np.int64), pa.int64())
         )
 
     def _resolve(t: pa.Table) -> pa.Table:

@@ -1451,33 +1451,40 @@ def dedup_incremental_documents(sf_dir: str):
     idx = _scratch_dir("incidx", sf_dir)
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
 
-    def _part(rem_zero: bool):
-        def f(t: pa.Table) -> pa.Table:
-            nc = t.column("n_chars").to_numpy(zero_copy_only=False)
-            mask = (nc % 3 == 0) if rem_zero else (nc % 3 != 0)
-            return t.filter(pa.array(mask)).select(["doc_id", "text"])
+    def _existing(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(nc % 3 != 0)).select(["doc_id", "text"])
 
-        return f
+    def _new_batch(t: pa.Table) -> pa.Table:
+        # one pass per block builds all three branches (base + echoes +
+        # self-dups) — no second scan of the parquet per branch
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        ex = t.filter(pa.array(nc % 3 != 0))
+        nb = t.filter(pa.array(nc % 3 == 0)).select(["doc_id", "text"])
+        exd = ex.column("doc_id").to_numpy(zero_copy_only=False)
+        nbd = nb.column("doc_id").to_numpy(zero_copy_only=False)
+        echo = ex.filter(pa.array(exd % 5 == 0))
+        sdup = nb.filter(pa.array(nbd % 7 == 0))
+        return pa.concat_tables(
+            [
+                nb,
+                pa.table(
+                    {
+                        "doc_id": pc.add(echo.column("doc_id"), 1_000_000),
+                        "text": echo.column("text"),
+                    }
+                ),
+                pa.table(
+                    {
+                        "doc_id": pc.add(sdup.column("doc_id"), 2_000_000),
+                        "text": sdup.column("text"),
+                    }
+                ),
+            ]
+        )
 
-    def _offset_where(mod: int, off: int):
-        def f(t: pa.Table) -> pa.Table:
-            did = t.column("doc_id").to_numpy(zero_copy_only=False)
-            t2 = t.filter(pa.array(did % mod == 0))
-            return pa.table(
-                {
-                    "doc_id": pc.add(t2.column("doc_id"), off),
-                    "text": t2.column("text"),
-                }
-            )
-
-        return f
-
-    existing = ds.map_batches(_part(False), batch_format="pyarrow")
-    newbase = ds.map_batches(_part(True), batch_format="pyarrow")
-    newb = newbase.union(
-        existing.map_batches(_offset_where(5, 1_000_000), batch_format="pyarrow"),
-        newbase.map_batches(_offset_where(7, 2_000_000), batch_format="pyarrow"),
-    )
+    existing = ds.map_batches(_existing, batch_format="pyarrow")
+    newb = ds.map_batches(_new_batch, batch_format="pyarrow")
     dedup_against_index(existing, idx, n_buckets=64, run_id="seed")
     accepted = dedup_against_index(newb, idx, n_buckets=64, run_id="batch1")
     return accepted.select_columns(["doc_id"])
