@@ -127,3 +127,33 @@ def test_cli_audit_detects_corruption(ray_session, fixture_parquet, tmp_path, ca
 
     res2 = _json.loads(out)
     assert rc == 1 and res2["corrupt"] == [blocks[0]]
+
+
+def test_cli_dedup_index(ray_session, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    seed = tmp_path / "seed.parquet"
+    pq.write_table(
+        pa.table({"doc_id": ["a", "b", "c"], "text": ["x", "y", "x"]}), str(seed)
+    )
+    batch = tmp_path / "batch.parquet"
+    pq.write_table(
+        pa.table({"doc_id": ["d", "e", "f"], "text": ["x", "z", "z"]}), str(batch)
+    )
+    idx = str(tmp_path / "idx")
+    res = _run(capsys, "dedup", "--input", str(seed), "--index", idx,
+               "--run-id", "seed", "--n-buckets", "8")
+    assert res["accepted"] == 2  # a (x), b (y); c loses to a
+
+    out = str(tmp_path / "acc")
+    res = _run(capsys, "dedup", "--input", str(batch), "--index", idx,
+               "--run-id", "b1", "--n-buckets", "8", "--out", out)
+    assert res["accepted"] == 1  # e wins z; d's x is known
+    import ray
+
+    got = ray.data.read_parquet(out).to_pandas()
+    assert sorted(got["doc_id"]) == ["e"]
+
+    res = _run(capsys, "dedup", "--index", idx, "--compact-only")
+    assert res["hashes"] == 3  # x, y, z

@@ -269,6 +269,47 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Incremental exact dedup of a parquet batch against a persisted
+    hash index (functions/incdedup.py); --compact-only folds the
+    index's per-run shard files instead."""
+    from tokcodec.functions.incdedup import compact_index, dedup_against_index
+
+    _init_ray(args.num_cpus)
+    if args.compact_only:
+        print(json.dumps(compact_index(args.index)))
+        return 0
+    if not args.input or not args.run_id:
+        raise SystemExit("dedup requires --input and --run-id (or --compact-only)")
+    import ray.data
+
+    ds = ray.data.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    acc = dedup_against_index(
+        ds,
+        args.index,
+        run_id=args.run_id,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        n_buckets=args.n_buckets,
+        update_index=not args.no_update,
+    )
+    if args.no_update and args.out:
+        acc = acc.materialize()  # one execution for both write and count
+    if args.out:
+        acc.write_parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "accepted": acc.count(),
+                "index": args.index,
+                "run_id": args.run_id,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_synth(args) -> int:
     from tokcodec.synth import write_fixture
 
@@ -340,6 +381,25 @@ def main(argv=None) -> int:
     ig.add_argument("--no-zstd", action="store_true")
     common(ig)
     ig.set_defaults(fn=cmd_ingest)
+
+    dd = sub.add_parser("dedup")
+    dd.add_argument("--input", default=None,
+                    help="parquet file/dir of the batch to dedup")
+    dd.add_argument("--index", required=True,
+                    help="persisted hash-index dir (created on first use)")
+    dd.add_argument("--run-id", default=None,
+                    help="unique id per batch; reuse ONLY to retry a crashed run")
+    dd.add_argument("--out", default=None,
+                    help="optional parquet dir for the accepted (id, h1, h2) rows")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--n-buckets", type=int, default=256)
+    dd.add_argument("--no-update", action="store_true",
+                    help="query-only: don't add accepted hashes to the index")
+    dd.add_argument("--compact-only", action="store_true",
+                    help="fold per-run shard files instead of deduping")
+    common(dd)
+    dd.set_defaults(fn=cmd_dedup)
 
     s = sub.add_parser("synth")
     s.add_argument("--out", required=True)
