@@ -143,3 +143,58 @@ def test_compact_index_folds_files(ray_session, index_dir):
     got2 = _ids(dedup_against_index(_batch([("z1", "a brand new sentence")]),
                                     index_dir, n_buckets=N_BUCKETS, run_id="b3"))
     assert got2 == ["z1"]
+
+
+# ------------------------------------------------ near-dup variant ----
+
+WORDS20 = [
+    " ".join(f"w{i}_{j}" for j in range(20)) for i in range(6)
+]  # six fully word-disjoint 20-word docs
+
+
+def test_near_dup_seed_then_batch(ray_session, tmp_path):
+    from tokcodec.functions.incdedup import near_dup_against_index
+
+    idx = str(tmp_path / "nidx")
+    seed = [(f"s{i}", WORDS20[i]) for i in range(4)]
+    got = _ids(near_dup_against_index(_batch(seed), idx,
+                                      n_buckets=N_BUCKETS, run_id="seed"))
+    assert got == ["s0", "s1", "s2", "s3"]  # mutually word-disjoint
+
+    batch = [
+        ("n1", WORDS20[0] + " tail"),     # near-dup of s0: flagged
+        ("n2", WORDS20[4]),               # genuinely new: accepted
+        ("n3", WORDS20[5]),               # smaller id, accepted
+        ("n4", WORDS20[5] + " extra"),    # near-dup of n3 within batch: flagged
+    ]
+    got2 = _ids(near_dup_against_index(_batch(batch), idx,
+                                       n_buckets=N_BUCKETS, run_id="b1"))
+    assert got2 == ["n2", "n3"]
+
+    # everything seen so far is now a near-dup
+    got3 = _ids(near_dup_against_index(_batch(batch), idx,
+                                       n_buckets=N_BUCKETS, run_id="b2"))
+    assert got3 == []
+
+
+def test_near_dup_retry_idempotent(ray_session, tmp_path):
+    from tokcodec.functions.incdedup import near_dup_against_index
+
+    idx = str(tmp_path / "nidx")
+    seed = [(f"s{i}", WORDS20[i]) for i in range(3)]
+    near_dup_against_index(_batch(seed), idx, n_buckets=N_BUCKETS, run_id="seed")
+    batch = [("n1", WORDS20[0] + " tail"), ("n2", WORDS20[4])]
+    first = _ids(near_dup_against_index(_batch(batch), idx,
+                                        n_buckets=N_BUCKETS, run_id="b1"))
+    retry = _ids(near_dup_against_index(_batch(batch), idx,
+                                        n_buckets=N_BUCKETS, run_id="b1"))
+    assert retry == first == ["n2"]
+
+
+def test_near_dup_rejects_exact_index_dir(ray_session, tmp_path):
+    from tokcodec.functions.incdedup import near_dup_against_index
+
+    idx = str(tmp_path / "mixidx")
+    dedup_against_index(_batch(SEED), idx, n_buckets=N_BUCKETS, run_id="seed")
+    with pytest.raises(ValueError, match="key"):
+        near_dup_against_index(_batch(SEED), idx, n_buckets=N_BUCKETS, run_id="b")

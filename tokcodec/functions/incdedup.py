@@ -42,6 +42,10 @@ file growth.
 No reference-repo counterpart: one of the training-pipeline extras the
 round brief asks for beyond parquet-extra's operator surface; the
 within-batch semantics match functions/dedup.py::exact_dedup.
+
+``near_dup_against_index`` is the NEAR-duplicate sibling over the same
+shard machinery: state = MinHash band keys of accepted docs, verdict =
+"any band collides" (see its docstring for the one-exchange contract).
 """
 
 from __future__ import annotations
@@ -52,9 +56,11 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from tokcodec.functions.dedup import fnv_min_partial
+from tokcodec.functions.dedup import fnv_min_partial, minhash_band_rows
+from tokcodec.functions.sortagg import sorted_group_reduce
 from tokcodec.manifest import atomic_write_bytes, atomic_write_json
 
 _META = "index.json"
@@ -73,10 +79,14 @@ def _shard_dir(index_dir: str, bucket: int) -> str:
     return os.path.join(index_dir, f"bucket={bucket:05d}")
 
 
-def _ensure_meta(index_dir: str, n_buckets: int) -> int:
-    """Create-or-validate the index config.  n_buckets is part of the
-    on-disk layout — a mismatched run would look up the wrong shards
-    and silently re-accept known docs, so it fails fast instead."""
+def _ensure_meta(
+    index_dir: str, n_buckets: int, key: str = "fnv128", params: dict | None = None
+) -> int:
+    """Create-or-validate the index config.  n_buckets, the key kind
+    (exact fnv128 vs minhash bands) and the signature params are all
+    part of the on-disk layout — a mismatched run would look up the
+    wrong shards (or compare incomparable hashes) and silently
+    re-accept known docs, so every mismatch fails fast instead."""
     if n_buckets & (n_buckets - 1) or n_buckets < 2:
         # >= 2 keeps the bucket shift inside [0, 63] (a 64-bit shift is
         # undefined for numpy uint64)
@@ -84,17 +94,21 @@ def _ensure_meta(index_dir: str, n_buckets: int) -> int:
     import json
 
     p = _meta_path(index_dir)
+    want = {"n_buckets": n_buckets, "key": key}
+    if params:
+        want["params"] = params
     if os.path.exists(p):
         with open(p) as f:
             meta = json.load(f)
-        if meta["n_buckets"] != n_buckets:
-            raise ValueError(
-                f"index at {index_dir} was built with n_buckets="
-                f"{meta['n_buckets']}, got {n_buckets}"
-            )
+        for field in ("n_buckets", "key", "params"):
+            if meta.get(field) != want.get(field):
+                raise ValueError(
+                    f"index at {index_dir} was built with "
+                    f"{field}={meta.get(field)!r}, got {want.get(field)!r}"
+                )
         return n_buckets
     os.makedirs(index_dir, exist_ok=True)
-    atomic_write_json(p, {"n_buckets": n_buckets, "key": "fnv128"})
+    atomic_write_json(p, want)
     return n_buckets
 
 
@@ -240,3 +254,137 @@ def compact_index(index_dir: str) -> dict:
         "hashes": int(sum(r["hashes"] for r in res)),
         "n_buckets": meta["n_buckets"],
     }
+
+
+def near_dup_against_index(
+    ds,
+    index_dir: str,
+    run_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    update_index: bool = True,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 7,
+    shingle: str = "word",
+):
+    """Incremental NEAR-duplicate filter: flag each batch doc whose
+    MinHash band set collides with the accepted corpus (any band in the
+    index) or with a smaller-id doc in the same batch (any shared
+    band); return the accepted doc ids as a Dataset of (id_col,).
+
+    State is the accepted docs' band keys — ``bands`` × 8 B per doc
+    (h1 = band id, h2 = band hash) in the same bucket-sharded layout,
+    atomic run-scoped appends and retry idempotence as
+    `dedup_against_index`; the signature params are pinned in the index
+    meta, and an exact-dedup index dir is rejected (different key kind).
+
+    One-exchange contract: verdicts AND appends both happen inside the
+    single bucket `groupby` — a doc rejected globally (flagged in some
+    bucket) may still leave band keys in OTHER buckets whose local
+    view looked clean.  Those extra keys can only INCREASE future
+    flagging recall (the doc they shadow was itself near-identical to
+    an accepted doc), which is the right trade for a probabilistic
+    filter: exact-membership semantics are `dedup_against_index`'s
+    job, and this keeps the whole operator one shuffle at 10^12-doc
+    scale instead of three (flag → global verdict → re-shuffle bands).
+    """
+    if not _RUN_ID_RE.match(run_id) or run_id == "compact":
+        raise ValueError(
+            f"run_id must match {_RUN_ID_RE.pattern} and not be the "
+            f"reserved name 'compact', got {run_id!r}"
+        )
+    params = {"num_perm": num_perm, "bands": bands, "k": k, "seed": seed,
+              "shingle": shingle}
+    _ensure_meta(index_dir, n_buckets, key="minhash-band", params=params)
+    shift = np.uint64(64 - int(n_buckets).bit_length() + 1)
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "h1": pa.array([], pa.int64()),
+                "h2": pa.array([], pa.int64()),
+                id_col: pa.array([], batch.schema.field(id_col).type),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        t = minhash_band_rows(
+            batch, text_col, id_col, num_perm=num_perm, bands=bands, k=k,
+            seed=seed, shingle=shingle,
+        )
+        h2u = t.column("band_hash").to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table(
+            {
+                "bucket": pa.array((h2u >> shift).astype(np.int64), pa.int64()),
+                "h1": t.column("band").cast(pa.int64()),
+                "h2": t.column("band_hash"),
+                id_col: t.column(id_col),
+            }
+        )
+
+    def _flag(t: pa.Table) -> pa.Table:
+        b = t.column("bucket")[0].as_py()
+        sd = _shard_dir(index_dir, int(b))
+        idx = _read_shard(sd, exclude_run=run_id if update_index else None)
+        if idx is not None:
+            # distinct keys + hit marker; the outer join may reorder, so
+            # every downstream mask is computed AFTER the re-sort below
+            idx = idx.group_by(["h1", "h2"]).aggregate([])
+            idx = idx.append_column("_hit", pa.array(np.ones(idx.num_rows, np.int8)))
+            t = t.join(idx, keys=["h1", "h2"], join_type="left outer")
+        t = t.sort_by(
+            [("h1", "ascending"), ("h2", "ascending"), (id_col, "ascending")]
+        ).combine_chunks()
+        h1 = t.column("h1").to_numpy(zero_copy_only=False)
+        h2 = t.column("h2").to_numpy(zero_copy_only=False)
+        n = len(h1)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        if idx is not None:
+            hit = pc.fill_null(t.column("_hit"), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(bool)
+        else:
+            hit = np.zeros(n, dtype=bool)
+        flagged = hit | ~first
+        if update_index:
+            keep = first & ~hit  # bucket-locally-clean keys enter the index
+            _write_shard_file(sd, run_id, t.filter(pa.array(keep)).select(["h1", "h2"]))
+        ids = t.column(id_col)
+        out_ids = [pc.unique(ids.filter(pa.array(flagged)))]
+        flags = [np.ones(len(out_ids[0]), np.int8)]
+        # band-0 rows carry the per-doc presence marker: exactly one per
+        # doc globally, so the max-flag reduce sees every doc once
+        base = ids.filter(pa.array(h1 == 0))
+        out_ids.append(base)
+        flags.append(np.zeros(len(base), np.int8))
+        return pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                     for a in out_ids]
+                ),
+                "flag": pa.array(np.concatenate(flags), pa.int8()),
+            }
+        )
+
+    marks = (
+        ds.map_batches(_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_flag, batch_format="pyarrow")
+    )
+    if update_index:
+        # exactly-once appends under Dataset laziness (see
+        # dedup_against_index); the mark table is 1 + flagged-bands
+        # rows per doc, far narrower than the corpus
+        marks = marks.materialize()
+    verdict = sorted_group_reduce(marks, [id_col], [("flag", "max", "flag")])
+    return verdict.map_batches(
+        lambda t: t.filter(pc.equal(t.column("flag"), 0)).select([id_col]),
+        batch_format="pyarrow",
+    )

@@ -1433,6 +1433,79 @@ def _shuffle_oracle_sql() -> str:
     )
 
 
+# -------------------------------------------- multi-way (star) join ----
+
+
+def join_revenue_by_nation(sf_dir: str):
+    """TPC-H-q5-style star join: lineitem ⋈ supplier ⋈ nation ⋈ region,
+    WHERE r_name = 'ASIA', GROUP BY n_name.  The dimension side folds
+    DRIVER-side (region → nation → supplier are tiny by star-schema
+    contract) into one sorted (suppkey → nation-name) LUT captured by
+    the batch closure — shipped once per worker, so the fact table
+    never shuffles for the join; only O(blocks × |nations|) partial
+    rows move for the aggregate.  Revenue is integer-exact
+    (cents × discount-percent) so float summation order can't break
+    the driver's value hash."""
+    import pyarrow.parquet as pqt
+
+    from ray.data.aggregate import Sum
+
+    sup = pqt.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nat = pqt.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pqt.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    asia = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(asia)]
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    sup = sup[sup["s_nationkey"].isin(nmap)]
+    skeys = sup["s_suppkey"].to_numpy()
+    order = np.argsort(skeys)
+    keys = skeys[order]
+    names = np.asarray([nmap[k] for k in sup["s_nationkey"].to_numpy()[order]], dtype=object)
+
+    ds = _rp(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, sk)
+        ok = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == sk)
+        if not ok.any():
+            return pa.table(
+                {"n_name": pa.array([], pa.string()), "pr": pa.array([], pa.int64())}
+            )
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[ok]
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)[ok]
+        rev = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64)
+        )
+        g = pa.table(
+            {
+                "n_name": pa.array(names[pos[ok]].tolist(), pa.string()),
+                "pr": pa.array(rev, pa.int64()),
+            }
+        ).group_by("n_name").aggregate([("pr", "sum")])
+        return pa.table({"n_name": g.column("n_name"), "pr": g.column("pr_sum")})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("pr", alias_name="revenue"))
+    )
+
+
+def _join_revenue_oracle_sql() -> str:
+    return (
+        "SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue "
+        "FROM lineitem, supplier, nation, region "
+        "WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey "
+        "AND n_regionkey = r_regionkey AND r_name = 'ASIA' GROUP BY n_name"
+    )
+
+
 # ---------------------------------------------- incremental dedup ----
 
 
@@ -1488,6 +1561,73 @@ def dedup_incremental_documents(sf_dir: str):
     dedup_against_index(existing, idx, n_buckets=64, run_id="seed")
     accepted = dedup_against_index(newb, idx, n_buckets=64, run_id="batch1")
     return accepted.select_columns(["doc_id"])
+
+
+def dedup_incremental_minhash_recall(sf_dir: str):
+    """Recall/precision bar for the incremental NEAR-dup filter
+    (functions/incdedup.py::near_dup_against_index): seed the band
+    index with the whole documents table, then run one batch holding
+    (a) the same injected mutations as dedup_minhash_recall — id + 1M,
+    'extra tail token' appended, for every doc_id % 8 == 0 — which must
+    be FLAGGED (>= 95%), and (b) word-disjoint synthetic docs (id + 3M
+    for doc_id % 8 == 1) which must be ACCEPTED (>= 95%).  Oracle emits
+    the injected count and TRUE/TRUE, hash-matching iff both bars held."""
+    from tokcodec.functions.incdedup import near_dup_against_index
+
+    idx = _scratch_dir("incmh", sf_dir)
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    near_dup_against_index(ds, idx, run_id="seed")
+
+    def _mk_batch(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        muts = t.filter(pa.array(did % 8 == 0))
+        fresh = t.filter(pa.array(did % 8 == 1))
+        fresh_ids = fresh.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "doc_id": pc.add(muts.column("doc_id"), 1_000_000),
+                        "text": pc.binary_join_element_wise(
+                            muts.column("text"), pa.scalar("extra tail token"), " "
+                        ),
+                    }
+                ),
+                pa.table(
+                    {
+                        "doc_id": pc.add(fresh.column("doc_id"), 3_000_000),
+                        "text": pa.array(
+                            [
+                                " ".join(f"f{i}_{j}" for j in range(20))
+                                for i in fresh_ids
+                            ],
+                            pa.string(),
+                        ),
+                    }
+                ),
+            ]
+        )
+
+    batch = ds.map_batches(_mk_batch, batch_format="pyarrow")
+    acc = near_dup_against_index(batch, idx, run_id="b1")
+    accepted = set(acc.to_pandas()["doc_id"]) if acc.count() else set()
+
+    import pyarrow.parquet as pqt
+
+    ids = pqt.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+    injected = [i + 1_000_000 for i in ids if i % 8 == 0]
+    freshers = [i + 3_000_000 for i in ids if i % 8 == 1]
+    flagged_frac = sum(i not in accepted for i in injected) / max(1, len(injected))
+    accept_frac = sum(i in accepted for i in freshers) / max(1, len(freshers))
+    return pa.table(
+        {
+            "n_injected": pa.array([len(injected)], pa.int64()),
+            "flagged_ok": pa.array([flagged_frac >= 0.95], pa.bool_()),
+            "accept_ok": pa.array([accept_frac >= 0.95], pa.bool_()),
+        }
+    )
 
 
 def _dedup_incremental_oracle_sql() -> str:
@@ -1755,6 +1895,8 @@ def build_queries() -> dict:
         "predicate_isin_part": predicate_isin_part,  # IN-list twin of visible predicates
         "quantiles_lineitem_price": quantiles_lineitem_price,  # subset of quantiles_by_lang
         "dedup_incremental_documents": dedup_incremental_documents,  # index-backed twin of dedup_exact_fnv
+        "join_revenue_by_nation": join_revenue_by_nation,  # star-join twin of join_lineitem_orders
+        "dedup_incremental_minhash_recall": dedup_incremental_minhash_recall,  # near-dup index bar
     }
     return qs
 
@@ -1850,6 +1992,11 @@ def build_oracle_sql() -> dict:
         "quantiles_by_lang": _quantiles_by_lang_oracle_sql(),
         "approx_quantiles_check": _approx_quantiles_oracle_sql(),
         "dedup_incremental_documents": _dedup_incremental_oracle_sql(),
+        "join_revenue_by_nation": _join_revenue_oracle_sql(),
+        "dedup_incremental_minhash_recall": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_injected, TRUE AS flagged_ok, "
+            "TRUE AS accept_ok FROM documents WHERE doc_id % 8 = 0"
+        ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "wordcount_topk_documents": (
             "SELECT w AS word, COUNT(*) AS n FROM (SELECT "
