@@ -198,3 +198,19 @@ def test_near_dup_rejects_exact_index_dir(ray_session, tmp_path):
     dedup_against_index(_batch(SEED), idx, n_buckets=N_BUCKETS, run_id="seed")
     with pytest.raises(ValueError, match="key"):
         near_dup_against_index(_batch(SEED), idx, n_buckets=N_BUCKETS, run_id="b")
+
+
+def test_near_dup_duplicated_batch_row_not_self_flagged(ray_session, tmp_path):
+    # an upstream retry/union can ship the same (id, text) row twice;
+    # the doc must still be accepted ONCE, not flagged against itself
+    from tokcodec.functions.incdedup import near_dup_against_index
+
+    idx = str(tmp_path / "nidx")
+    batch = [("n1", WORDS20[0]), ("n1", WORDS20[0]), ("n2", WORDS20[1])]
+    got = _ids(near_dup_against_index(_batch(batch), idx,
+                                      n_buckets=N_BUCKETS, run_id="b1"))
+    assert got == ["n1", "n2"]
+    # and a re-submission under a NEW run id sees it as a known near-dup
+    got2 = _ids(near_dup_against_index(_batch([("n9", WORDS20[0])]), idx,
+                                       n_buckets=N_BUCKETS, run_id="b2"))
+    assert got2 == []

@@ -275,8 +275,9 @@ def near_dup_against_index(
     index) or with a smaller-id doc in the same batch (any shared
     band); return the accepted doc ids as a Dataset of (id_col,).
 
-    State is the accepted docs' band keys — ``bands`` × 8 B per doc
-    (h1 = band id, h2 = band hash) in the same bucket-sharded layout,
+    State is the accepted docs' band keys — ``bands`` × 16 B per doc,
+    two int64 lanes per key (h1 = band id, h2 = band hash), in the same
+    bucket-sharded layout,
     atomic run-scoped appends and retry idempotence as
     `dedup_against_index`; the signature params are pinned in the index
     meta, and an exact-dedup index dir is rejected (different key kind).
@@ -341,6 +342,19 @@ def near_dup_against_index(
         ).combine_chunks()
         h1 = t.column("h1").to_numpy(zero_copy_only=False)
         h2 = t.column("h2").to_numpy(zero_copy_only=False)
+        if len(h1) > 1:
+            # identical (h1, h2, id) triples collapse to ONE occurrence:
+            # a batch row duplicated upstream (retry/union) must not flag
+            # its own doc as a within-batch near-dup of itself
+            ids_np = t.column(id_col).to_numpy(zero_copy_only=False)
+            dup = np.zeros(len(h1), dtype=bool)
+            dup[1:] = (
+                (h1[1:] == h1[:-1]) & (h2[1:] == h2[:-1]) & (ids_np[1:] == ids_np[:-1])
+            )
+            if dup.any():
+                t = t.filter(pa.array(~dup)).combine_chunks()
+                h1 = t.column("h1").to_numpy(zero_copy_only=False)
+                h2 = t.column("h2").to_numpy(zero_copy_only=False)
         n = len(h1)
         first = np.ones(n, dtype=bool)
         if n > 1:

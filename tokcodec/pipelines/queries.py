@@ -1469,13 +1469,16 @@ def join_revenue_by_nation(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"n_name": pa.array([], pa.string()), "pr": pa.array([], pa.int64())}
+        )
+        if len(keys) == 0:  # no ASIA suppliers at all: empty join result
+            return empty
         sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
         pos = np.searchsorted(keys, sk)
         ok = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == sk)
         if not ok.any():
-            return pa.table(
-                {"n_name": pa.array([], pa.string()), "pr": pa.array([], pa.int64())}
-            )
+            return empty
         price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[ok]
         disc = t.column("l_discount").to_numpy(zero_copy_only=False)[ok]
         rev = np.rint(price * 100).astype(np.int64) * (
