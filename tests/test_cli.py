@@ -157,3 +157,24 @@ def test_cli_dedup_index(ray_session, tmp_path, capsys):
 
     res = _run(capsys, "dedup", "--index", idx, "--compact-only")
     assert res["hashes"] == 3  # x, y, z
+
+
+def test_cli_dedup_minhash(ray_session, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = " ".join(f"v{j}" for j in range(20))
+    other = " ".join(f"u{j}" for j in range(20))
+    seed = tmp_path / "seed.parquet"
+    pq.write_table(pa.table({"doc_id": ["a"], "text": [base]}), str(seed))
+    batch = tmp_path / "batch.parquet"
+    pq.write_table(
+        pa.table({"doc_id": ["b", "c"], "text": [base + " tail", other]}), str(batch)
+    )
+    idx = str(tmp_path / "nidx")
+    res = _run(capsys, "dedup", "--method", "minhash", "--input", str(seed),
+               "--index", idx, "--run-id", "seed", "--n-buckets", "8")
+    assert res["accepted"] == 1
+    res = _run(capsys, "dedup", "--method", "minhash", "--input", str(batch),
+               "--index", idx, "--run-id", "b1", "--n-buckets", "8")
+    assert res["accepted"] == 1  # b near-dups a; c is fresh

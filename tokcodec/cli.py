@@ -270,10 +270,15 @@ def cmd_compact(args) -> int:
 
 
 def cmd_dedup(args) -> int:
-    """Incremental exact dedup of a parquet batch against a persisted
-    hash index (functions/incdedup.py); --compact-only folds the
-    index's per-run shard files instead."""
-    from tokcodec.functions.incdedup import compact_index, dedup_against_index
+    """Incremental dedup of a parquet batch against a persisted hash
+    index (functions/incdedup.py): --method exact (fnv128 content
+    hashes) or minhash (near-duplicate band keys); --compact-only
+    folds the index's per-run shard files instead."""
+    from tokcodec.functions.incdedup import (
+        compact_index,
+        dedup_against_index,
+        near_dup_against_index,
+    )
 
     _init_ray(args.num_cpus)
     if args.compact_only:
@@ -284,7 +289,8 @@ def cmd_dedup(args) -> int:
     import ray.data
 
     ds = ray.data.read_parquet(args.input, columns=[args.id_col, args.text_col])
-    acc = dedup_against_index(
+    fn = dedup_against_index if args.method == "exact" else near_dup_against_index
+    acc = fn(
         ds,
         args.index,
         run_id=args.run_id,
@@ -394,6 +400,8 @@ def main(argv=None) -> int:
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--n-buckets", type=int, default=256)
+    dd.add_argument("--method", choices=["exact", "minhash"], default="exact",
+                    help="exact content hashes or MinHash near-dup band keys")
     dd.add_argument("--no-update", action="store_true",
                     help="query-only: don't add accepted hashes to the index")
     dd.add_argument("--compact-only", action="store_true",
