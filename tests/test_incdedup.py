@@ -214,3 +214,32 @@ def test_near_dup_duplicated_batch_row_not_self_flagged(ray_session, tmp_path):
     got2 = _ids(near_dup_against_index(_batch([("n9", WORDS20[0])]), idx,
                                        n_buckets=N_BUCKETS, run_id="b2"))
     assert got2 == []
+
+
+def test_randomized_batches_match_reference_model(ray_session, tmp_path):
+    """Seeded random batch sequences vs a driver-side reference model:
+    accepted == {min id per text among texts unseen before this batch},
+    batch after batch, for several bucket widths."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for trial, nb in enumerate((2, 8, 64)):
+        idx = str(tmp_path / f"ridx{trial}")
+        seen: set[str] = set()
+        next_id = 0
+        for b in range(3):
+            n = int(rng.randint(5, 40))
+            texts = [f"t{rng.randint(0, 30)}" for _ in range(n)]
+            rows = []
+            for t in texts:
+                rows.append((f"d{next_id:06d}", t))
+                next_id += 1
+            expect = sorted(
+                min(i for i, t2 in rows if t2 == t)
+                for t in {t for _, t in rows}
+                if t not in seen
+            )
+            got = _ids(dedup_against_index(_batch(rows), idx,
+                                           n_buckets=nb, run_id=f"b{b}"))
+            assert got == expect, (trial, b)
+            seen |= {t for _, t in rows}
