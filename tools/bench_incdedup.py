@@ -1,0 +1,148 @@
+"""Bench: incremental dedup against the persisted hash index — the
+numbers cited in SCALE.md's "Incremental dedup" section.
+
+The testdata `documents` tables are small (5000 rows at sf0.1), so the
+exact-index bench synthesizes its own corpus: N deterministic ~60-char
+docs (default 3M) with a 12.5% duplicate rate, written once to /tmp as
+sharded parquet.  Measures, at 32 CPUs:
+- exact index seed pass over the first half (read + fnv128 + bucket
+  exchange + anti-join + shard writes), then the second half as an
+  incremental batch (mixed known/new), then an all-known re-run, then
+  compact_index;
+- the near-dup (MinHash band) sibling on the real sf0.01 documents —
+  its signature pass dominates, so the small table keeps the bench
+  short while still showing per-doc cost.
+
+Usage: python tools/bench_incdedup.py [n_docs] [near_sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
+
+def _synth_corpus(root: str, n: int, shards: int = 32) -> tuple[str, str]:
+    """Deterministic ~60-char docs, 12.5% exact-dup rate (key = i with
+    every 8th doc repeating the previous key).  Returns (half_a, half_b)
+    parquet dirs, built once and reused across invocations."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    a_dir, b_dir = os.path.join(root, "a"), os.path.join(root, "b")
+    marker = os.path.join(root, f"ready_{n}")
+    if os.path.exists(marker):
+        return a_dir, b_dir
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(a_dir), os.makedirs(b_dir)
+    per = n // (2 * shards)
+    for half, d in ((0, a_dir), (1, b_dir)):
+        for s in range(shards):
+            base = (half * shards + s) * per
+            i = np.arange(base, base + per, dtype=np.int64)
+            key = np.where(i % 8 == 7, i - 1, i)  # every 8th repeats
+            texts = pa.array(
+                [f"synthetic document body number {k} with some padding words"
+                 for k in key], pa.string()
+            )
+            pq.write_table(
+                pa.table({"doc_id": pa.array(i), "text": texts}),
+                os.path.join(d, f"part-{s:04d}.parquet"),
+            )
+    open(marker, "w").close()
+    return a_dir, b_dir
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3_000_000
+    near_sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    import tokcodec  # noqa: F401  (malloc/THP tuning on import)
+    from tokcodec.functions.incdedup import (
+        compact_index,
+        dedup_against_index,
+        near_dup_against_index,
+    )
+
+    out: dict = {}
+    a_dir, b_dir = _synth_corpus("/tmp/tokcodec_bench_docs", n)
+    half = n // 2
+
+    idx = "/tmp/tokcodec_bench_incidx"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    acc = dedup_against_index(ray.data.read_parquet(a_dir), idx,
+                              run_id="seed", n_buckets=256)
+    seed_s = time.time() - t0
+    out["exact"] = {
+        "docs_per_batch": half,
+        "seed_s": round(seed_s, 2),
+        "seed_docs_per_s": round(half / seed_s),
+        "accepted_seed": acc.count(),
+    }
+    t0 = time.time()
+    acc2 = dedup_against_index(ray.data.read_parquet(b_dir), idx,
+                               run_id="b1", n_buckets=256)
+    incr_s = time.time() - t0
+    out["exact"]["incr_s"] = round(incr_s, 2)
+    out["exact"]["incr_docs_per_s"] = round(half / incr_s)
+    out["exact"]["accepted_incr"] = acc2.count()
+    t0 = time.time()
+    acc3 = dedup_against_index(ray.data.read_parquet(b_dir), idx,
+                               run_id="b2", n_buckets=256)
+    out["exact"]["known_rerun_s"] = round(time.time() - t0, 2)
+    out["exact"]["accepted_rerun"] = acc3.count()
+    t0 = time.time()
+    comp = compact_index(idx)
+    out["exact"]["compact_s"] = round(time.time() - t0, 2)
+    out["exact"]["hashes"] = comp["hashes"]
+    sz = sum(os.path.getsize(os.path.join(r, f))
+             for r, _, fs in os.walk(idx) for f in fs)
+    out["exact"]["index_bytes"] = sz
+    out["exact"]["bytes_per_hash"] = round(sz / max(1, comp["hashes"]), 2)
+    shutil.rmtree(idx, ignore_errors=True)
+
+    def _docs(d):
+        return ray.data.read_parquet(
+            os.path.join(d, "documents.parquet"), columns=["doc_id", "text"]
+        )
+
+    nidx = "/tmp/tokcodec_bench_nearidx"
+    shutil.rmtree(nidx, ignore_errors=True)
+    m = _docs(near_sf).count()
+    t0 = time.time()
+    nacc = near_dup_against_index(_docs(near_sf), nidx, run_id="seed", n_buckets=256)
+    nseed_s = time.time() - t0
+    out["near"] = {
+        "sf_dir": near_sf,
+        "docs": m,
+        "seed_s": round(nseed_s, 2),
+        "docs_per_s": round(m / nseed_s),
+        "accepted": nacc.count(),
+    }
+    t0 = time.time()
+    nacc2 = near_dup_against_index(_docs(near_sf), nidx, run_id="b1", n_buckets=256)
+    out["near"]["rerun_s"] = round(time.time() - t0, 2)
+    out["near"]["rerun_accepted"] = nacc2.count()
+    shutil.rmtree(nidx, ignore_errors=True)
+
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
