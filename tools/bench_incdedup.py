@@ -116,28 +116,30 @@ def main() -> None:
     out["exact"]["bytes_per_hash"] = round(sz / max(1, comp["hashes"]), 2)
     shutil.rmtree(idx, ignore_errors=True)
 
-    def _docs(d):
-        return ray.data.read_parquet(
-            os.path.join(d, "documents.parquet"), columns=["doc_id", "text"]
-        )
-
+    # near-dup sibling on a synthetic corpus sized by the MinHash pass
+    # (num_perm=64 signatures dominate; near_n defaults to 200k docs)
+    near_n = int(near_sf) if near_sf.isdigit() else 200_000
+    na_dir, nb_dir = _synth_corpus("/tmp/tokcodec_bench_neardocs", near_n)
+    nhalf = near_n // 2
     nidx = "/tmp/tokcodec_bench_nearidx"
     shutil.rmtree(nidx, ignore_errors=True)
-    m = _docs(near_sf).count()
     t0 = time.time()
-    nacc = near_dup_against_index(_docs(near_sf), nidx, run_id="seed", n_buckets=256)
+    nacc = near_dup_against_index(ray.data.read_parquet(na_dir), nidx,
+                                  run_id="seed", n_buckets=256)
     nseed_s = time.time() - t0
     out["near"] = {
-        "sf_dir": near_sf,
-        "docs": m,
+        "docs_per_batch": nhalf,
         "seed_s": round(nseed_s, 2),
-        "docs_per_s": round(m / nseed_s),
-        "accepted": nacc.count(),
+        "seed_docs_per_s": round(nhalf / nseed_s),
+        "accepted_seed": nacc.count(),
     }
     t0 = time.time()
-    nacc2 = near_dup_against_index(_docs(near_sf), nidx, run_id="b1", n_buckets=256)
-    out["near"]["rerun_s"] = round(time.time() - t0, 2)
-    out["near"]["rerun_accepted"] = nacc2.count()
+    nacc2 = near_dup_against_index(ray.data.read_parquet(nb_dir), nidx,
+                                   run_id="b1", n_buckets=256)
+    nincr_s = time.time() - t0
+    out["near"]["incr_s"] = round(nincr_s, 2)
+    out["near"]["incr_docs_per_s"] = round(nhalf / nincr_s)
+    out["near"]["accepted_incr"] = nacc2.count()
     shutil.rmtree(nidx, ignore_errors=True)
 
     print(json.dumps(out))
