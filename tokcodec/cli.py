@@ -396,7 +396,9 @@ def main(argv=None) -> int:
     dd.add_argument("--run-id", default=None,
                     help="unique id per batch; reuse ONLY to retry a crashed run")
     dd.add_argument("--out", default=None,
-                    help="optional parquet dir for the accepted (id, h1, h2) rows")
+                    help="optional parquet dir for the accepted rows: "
+                         "(id, h1, h2) with --method exact, id only with "
+                         "--method minhash")
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--n-buckets", type=int, default=256)

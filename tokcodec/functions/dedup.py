@@ -21,7 +21,6 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

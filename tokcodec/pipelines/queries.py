@@ -1438,37 +1438,95 @@ def _shuffle_oracle_sql() -> str:
 
 def join_revenue_by_nation(sf_dir: str):
     """TPC-H-q5-style star join: lineitem ⋈ supplier ⋈ nation ⋈ region,
-    WHERE r_name = 'ASIA', GROUP BY n_name.  The dimension side folds
-    DRIVER-side (region → nation → supplier are tiny by star-schema
-    contract) into one sorted (suppkey → nation-name) LUT captured by
-    the batch closure — shipped once per worker, so the fact table
-    never shuffles for the join; only O(blocks × |nations|) partial
-    rows move for the aggregate.  Revenue is integer-exact
-    (cents × discount-percent) so float summation order can't break
-    the driver's value hash."""
+    WHERE r_name = 'ASIA', GROUP BY n_name.  The dimension side folds in
+    two tiers: nation ⋈ region is constant-size by star-schema contract
+    (25 × 5 rows) and folds on the driver into a nationkey→name map,
+    but supplier SCALES with the corpus (sf × 10k rows in TPC-H), so it
+    is folded DISTRIBUTIVELY — a pruned Ray read of (s_suppkey,
+    s_nationkey) filtered per batch against the ray.put nation map, with
+    only the matching ~|ASIA|/|nations| fraction streamed back to build
+    the (suppkey → nation-name) LUT.  The collected LUT is guarded by
+    `_BROADCAST_MAX_ROWS` (same contract as join_lineitem_orders: above
+    it a broadcast join is the wrong plan) and shipped via ray.put ONCE
+    — read zero-copy from local plasma per task, never re-pickled into
+    a per-task closure.  The fact table never shuffles for the join;
+    only O(blocks × |nations|) partial rows move for the aggregate.
+    Revenue is integer-exact (cents × discount-percent) so float
+    summation order can't break the driver's value hash.  Rounding is
+    floor(x*100 + 0.5) — half-away-from-zero on the non-negative TPC-H
+    monetary columns, matching DuckDB ROUND (np.rint is half-to-even:
+    latent divergence on inputs landing exactly on .5)."""
     import pyarrow.parquet as pqt
-
+    import ray
     from ray.data.aggregate import Sum
 
-    sup = pqt.read_table(
-        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
     nat = pqt.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
     reg = pqt.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
     asia = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
     nat = nat[nat["n_regionkey"].isin(asia)]
-    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    sup = sup[sup["s_nationkey"].isin(nmap)]
-    skeys = sup["s_suppkey"].to_numpy()
+    nkeys_drv = nat["n_nationkey"].to_numpy().astype(np.int64)
+    norder = np.argsort(nkeys_drv)
+    nmap_ref = ray.put(
+        (nkeys_drv[norder], nat["n_name"].to_numpy().astype(object)[norder])
+    )
+
+    def _fold_sup(t: pa.Table) -> pa.Table:
+        nkeys, nnames = ray.get(nmap_ref)
+        if len(nkeys) == 0:
+            return pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "n_name": pa.array([], pa.string()),
+                }
+            )
+        nk = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nkeys, nk)
+        ok = (pos < len(nkeys)) & (nkeys[np.minimum(pos, len(nkeys) - 1)] == nk)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(
+                    t.column("s_suppkey").to_numpy(zero_copy_only=False)[ok],
+                    pa.int64(),
+                ),
+                "n_name": pa.array(nnames[pos[ok]].tolist(), pa.string()),
+            }
+        )
+
+    lut_parts, lut_rows = [], 0
+    for part in _rp(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(_fold_sup, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        lut_rows += part.num_rows
+        if lut_rows > _BROADCAST_MAX_ROWS:
+            raise ValueError(
+                f"suppkey->nation LUT exceeds {_BROADCAST_MAX_ROWS} rows; "
+                "use a hash-partitioned shuffle join instead"
+            )
+        lut_parts.append(part)
+    lut = (
+        pa.concat_tables(lut_parts)
+        if lut_parts
+        else pa.table(
+            {"s_suppkey": pa.array([], pa.int64()), "n_name": pa.array([], pa.string())}
+        )
+    )
+    skeys = lut.column("s_suppkey").to_numpy(zero_copy_only=False)
     order = np.argsort(skeys)
-    keys = skeys[order]
-    names = np.asarray([nmap[k] for k in sup["s_nationkey"].to_numpy()[order]], dtype=object)
+    lut_ref = ray.put(
+        (
+            skeys[order],
+            lut.column("n_name").to_numpy(zero_copy_only=False)[order],
+        )
+    )
 
     ds = _rp(
         sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"]
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(lut_ref)
         empty = pa.table(
             {"n_name": pa.array([], pa.string()), "pr": pa.array([], pa.int64())}
         )
@@ -1481,8 +1539,8 @@ def join_revenue_by_nation(sf_dir: str):
             return empty
         price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[ok]
         disc = t.column("l_discount").to_numpy(zero_copy_only=False)[ok]
-        rev = np.rint(price * 100).astype(np.int64) * (
-            100 - np.rint(disc * 100).astype(np.int64)
+        rev = np.floor(price * 100 + 0.5).astype(np.int64) * (
+            100 - np.floor(disc * 100 + 0.5).astype(np.int64)
         )
         g = pa.table(
             {
@@ -1613,22 +1671,76 @@ def dedup_incremental_minhash_recall(sf_dir: str):
 
     batch = ds.map_batches(_mk_batch, batch_format="pyarrow")
     acc = near_dup_against_index(batch, idx, run_id="b1")
-    accepted = set(acc.to_pandas()["doc_id"]) if acc.count() else set()
 
-    import pyarrow.parquet as pqt
+    # Aggregate-shaped scoring (no driver-side id sets — the accepted
+    # list is O(corpus)): union the EXPECTED ids (kind-tagged, derived
+    # per block from documents) with the ACCEPTED ids, fold per doc_id
+    # with one sort-based reduce, then per-block partial sums; only the
+    # O(blocks) 4-column partials reach the driver.
+    def _expected(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        inj = did[did % 8 == 0] + 1_000_000
+        fr = did[did % 8 == 1] + 3_000_000
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([inj, fr]), pa.int64()),
+                "inj": pa.array(
+                    np.r_[np.ones(len(inj), np.int8), np.zeros(len(fr), np.int8)]
+                ),
+                "fr": pa.array(
+                    np.r_[np.zeros(len(inj), np.int8), np.ones(len(fr), np.int8)]
+                ),
+                "acc": pa.array(np.zeros(len(inj) + len(fr), np.int8)),
+            }
+        )
 
-    ids = pqt.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-    ).column("doc_id").to_pylist()
-    injected = [i + 1_000_000 for i in ids if i % 8 == 0]
-    freshers = [i + 3_000_000 for i in ids if i % 8 == 1]
-    flagged_frac = sum(i not in accepted for i in injected) / max(1, len(injected))
-    accept_frac = sum(i in accepted for i in freshers) / max(1, len(freshers))
+    def _accepted(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "inj": pa.array(np.zeros(n, np.int8)),
+                "fr": pa.array(np.zeros(n, np.int8)),
+                "acc": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    marks = ds.select_columns(["doc_id"]).map_batches(
+        _expected, batch_format="pyarrow"
+    ).union(acc.map_batches(_accepted, batch_format="pyarrow"))
+    per_doc = sorted_group_reduce(
+        marks,
+        ["doc_id"],
+        [("inj", "max", "inj"), ("fr", "max", "fr"), ("acc", "max", "acc")],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        inj = t.column("inj").to_numpy(zero_copy_only=False).astype(bool)
+        fr = t.column("fr").to_numpy(zero_copy_only=False).astype(bool)
+        a = t.column("acc").to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table(
+            {
+                "n_inj": pa.array([int(inj.sum())], pa.int64()),
+                "n_flagged": pa.array([int((inj & ~a).sum())], pa.int64()),
+                "n_fr": pa.array([int(fr.sum())], pa.int64()),
+                "n_acc_fr": pa.array([int((fr & a).sum())], pa.int64()),
+            }
+        )
+
+    parts = per_doc.map_batches(_partial, batch_format="pyarrow").take_all()
+    n_inj = sum(p["n_inj"] for p in parts)
+    n_flagged = sum(p["n_flagged"] for p in parts)
+    n_fr = sum(p["n_fr"] for p in parts)
+    n_acc_fr = sum(p["n_acc_fr"] for p in parts)
     return pa.table(
         {
-            "n_injected": pa.array([len(injected)], pa.int64()),
-            "flagged_ok": pa.array([flagged_frac >= 0.95], pa.bool_()),
-            "accept_ok": pa.array([accept_frac >= 0.95], pa.bool_()),
+            "n_injected": pa.array([n_inj], pa.int64()),
+            "flagged_ok": pa.array(
+                [n_inj > 0 and n_flagged / n_inj >= 0.95], pa.bool_()
+            ),
+            "accept_ok": pa.array(
+                [n_fr > 0 and n_acc_fr / n_fr >= 0.95], pa.bool_()
+            ),
         }
     )
 
@@ -1793,6 +1905,41 @@ def sidecar_quality_documents(sf_dir: str):
     return read_with_sidecars(out, ["q"], columns=["doc_id", "q_words"])
 
 
+# ---------------------------------------------------------- ingestion ----
+
+
+def ingest_roundtrip_documents(sf_dir: str):
+    """Driver-visible oracle for the ingestion pipeline
+    (pipelines/ingest.py; VERDICT r4 next #3): the documents table is
+    re-exported as JSONL entirely inside Ray (write_json, distributed),
+    ingested back through the full jsonl → schema funnel → tokenize →
+    TOKB sink path, and the blocks decoded to (doc_id, n_tok).  The
+    tokenizer's word rule matches DuckDB's regexp_extract_all, so a
+    value-identical n_tok proves the whole ingest chain — format
+    reader, column funnel, tokenizer, sink, decoder.  Maps to the
+    reference's multi-format reader role
+    (ExampleParquetReader.java:18-63); csv/parquet variants are
+    token-identical by pytest (tests/test_ingest.py)."""
+    from tokcodec.pipelines.encode import decode_dataset
+    from tokcodec.pipelines.ingest import ingest_documents
+
+    tmp = _scratch_dir("ingestrt", sf_dir)
+    _rp(sf_dir, "documents", columns=["doc_id", "text", "source"]).write_json(
+        f"{tmp}/jsonl"
+    )
+    ingest_documents(f"{tmp}/jsonl", f"{tmp}/tokb", fmt="jsonl")
+    dec = decode_dataset(f"{tmp}/tokb", columns=["doc_id", "n_tok"])
+    return dec.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ----------------------------------------------------------- catalog ----
 
 
@@ -1816,7 +1963,16 @@ def build_queries() -> dict:
     # whose engine is a subset of the visible
     # ann_ivf_partitioned_recall — past the window for the two NEW
     # capabilities dedup_incremental_documents and
-    # join_revenue_by_nation).  Entries past slot 50 are
+    # join_revenue_by_nation.  Round 5 swapped topk_documents — a
+    # strict subset of the visible topk_per_source, same grouped-top-k
+    # engine with one group — past the window for the near-dup
+    # band-index recall bar dedup_incremental_minhash_recall (a
+    # distinct capability: band index ≠ exact index), and
+    # split_documents — a hash-threshold sibling of the visible
+    # mix/quota queries, same salted-hash gate, pytest-covered,
+    # driver-green rounds 1-4 — for ingest_roundtrip_documents, the
+    # jsonl→tokenize→TOKB→decode chain that was previously
+    # pytest-only).  Entries past slot 50 are
     # either rows-only by design (encode_stats) or oracled twins of a
     # visible query (md5-parity dedup, second agg, shuffle-join vs
     # broadcast-join, etc.) — still runnable via tools/check_oracle.py.
@@ -1854,7 +2010,6 @@ def build_queries() -> dict:
         # --- aggregates / quantiles / windows ---
         "agg_lineitem_pricing": agg_lineitem_pricing,
         "vocab_remap_events": vocab_remap_events,
-        "topk_documents": topk_documents,
         "topk_per_source": topk_per_source,
         "quantiles_by_lang": quantiles_by_lang,
         "approx_quantiles_check": approx_quantiles_check,
@@ -1871,6 +2026,7 @@ def build_queries() -> dict:
         "dedup_exact_fnv_documents": dedup_exact_fnv_documents,
         "dedup_minhash_recall": dedup_minhash_recall,
         "dedup_incremental_documents": dedup_incremental_documents,  # index-backed incremental dedup
+        "dedup_incremental_minhash_recall": dedup_incremental_minhash_recall,  # near-dup band index
         "dedup_simhash_recall": dedup_simhash_recall,
         "embedding_dups": embedding_dups,
         # --- ANN ---
@@ -1880,7 +2036,6 @@ def build_queries() -> dict:
         "join_revenue_by_nation": join_revenue_by_nation,  # star join, broadcast dims
         # --- corpus mixing / packing / multimodal ---
         "mix_documents": mix_documents,
-        "split_documents": split_documents,
         "quota_documents": quota_documents,
         "pack_chunks_documents": pack_chunks_documents,
         "multimodal_features": multimodal_features,
@@ -1889,8 +2044,12 @@ def build_queries() -> dict:
         "sidecar_quality_documents": sidecar_quality_documents,  # column append, no rewrite
         "point_lookup_documents": point_lookup_documents,  # bloom block skipping
         "compact_roundtrip_documents": compact_roundtrip_documents,  # small-files merge
+        # --- round-5: ingestion ---
+        "ingest_roundtrip_documents": ingest_roundtrip_documents,  # jsonl -> TOKB chain
         # ---- slot 51+: outside the driver's CORRECTNESS window ----
         "encode_stats_documents": encode_stats("documents"),  # rows-only by design
+        "topk_documents": topk_documents,  # one-group subset of topk_per_source
+        "split_documents": split_documents,  # hash-threshold twin of mix/quota/sample
         "sample_documents": sample_documents,  # hash-threshold twin of split/mix/quota
         "dedup_exact_documents": dedup_exact_documents,  # md5-parity twin of _fnv
         "agg_events_by_type": agg_events_by_type,
@@ -1903,7 +2062,6 @@ def build_queries() -> dict:
         "predicate_dates_lineitem": predicate_dates_lineitem,  # date twin of visible predicates
         "predicate_isin_part": predicate_isin_part,  # IN-list twin of visible predicates
         "quantiles_lineitem_price": quantiles_lineitem_price,  # subset of quantiles_by_lang
-        "dedup_incremental_minhash_recall": dedup_incremental_minhash_recall,  # near-dup index bar
         "dedup_ngram_recall": dedup_ngram_recall,  # char-shingle twin of dedup_minhash_recall
         "ann_ivf_recall": ann_ivf_recall,  # subset of ann_ivf_partitioned_recall
     }
@@ -2005,6 +2163,10 @@ def build_oracle_sql() -> dict:
         "dedup_incremental_minhash_recall": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_injected, TRUE AS flagged_ok, "
             "TRUE AS accept_ok FROM documents WHERE doc_id % 8 = 0"
+        ),
+        "ingest_roundtrip_documents": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) "
+            "AS BIGINT) AS n_tok FROM documents"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "wordcount_topk_documents": (

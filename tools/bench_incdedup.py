@@ -9,11 +9,12 @@ sharded parquet.  Measures, at 32 CPUs:
   exchange + anti-join + shard writes), then the second half as an
   incremental batch (mixed known/new), then an all-known re-run, then
   compact_index;
-- the near-dup (MinHash band) sibling on the real sf0.01 documents —
-  its signature pass dominates, so the small table keeps the bench
-  short while still showing per-doc cost.
+- the near-dup (MinHash band) sibling on its own synthetic corpus
+  (default 200k docs, same generator) — its num_perm=64 signature pass
+  dominates, so the smaller corpus keeps the bench short while still
+  showing per-doc cost.
 
-Usage: python tools/bench_incdedup.py [n_docs] [near_sf_dir]
+Usage: python tools/bench_incdedup.py [n_docs] [near_n]
 """
 
 from __future__ import annotations
@@ -62,7 +63,7 @@ def _synth_corpus(root: str, n: int, shards: int = 32) -> tuple[str, str]:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3_000_000
-    near_sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    near_arg = sys.argv[2] if len(sys.argv) > 2 else ""
     import ray
 
     if not ray.is_initialized():
@@ -118,7 +119,7 @@ def main() -> None:
 
     # near-dup sibling on a synthetic corpus sized by the MinHash pass
     # (num_perm=64 signatures dominate; near_n defaults to 200k docs)
-    near_n = int(near_sf) if near_sf.isdigit() else 200_000
+    near_n = int(near_arg) if near_arg.isdigit() else 200_000
     na_dir, nb_dir = _synth_corpus("/tmp/tokcodec_bench_neardocs", near_n)
     nhalf = near_n // 2
     nidx = "/tmp/tokcodec_bench_nearidx"
