@@ -335,9 +335,50 @@ def test_embedding_near_dups(ray_session):
 # ------------------------------ multimodal --------------------------------
 
 
-def test_media_stub_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+def test_media_stub_boundary_conditional():
+    """The stub boundary is conditional on the codec library: without
+    PIL the kernels fail fast / fall back to the fake; with it, auto
+    mode selects the real decode."""
+    from tokcodec.functions.multimodal import _try_pil
+
+    if _try_pil() is None:  # this sandbox
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")
+        with pytest.raises(NotImplementedError):
+            multimodal.MediaFeatureExtractor(dim=8, real=True)
+        assert multimodal.MediaFeatureExtractor(dim=8).real is False  # auto->fake
+    else:
+        assert multimodal.MediaFeatureExtractor(dim=8).real is True  # auto->real
+    # pinned-fake mode never probes the codec
+    assert multimodal.MediaFeatureExtractor(dim=8, real=False).real is False
+
+
+def test_media_real_path_with_pil():
+    """Exercises the REAL decode+downsample path — runs wherever PIL is
+    installed (skipped in this sandbox)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    im = Image.new("L", (32, 32))
+    im.putdata([(x * 8 + y) % 256 for y in range(32) for x in range(32)])
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    arr = multimodal.decode_image(payload)
+    assert arr.shape == (32, 32) and arr.dtype == np.uint8
+
+    ex = multimodal.MediaFeatureExtractor(dim=8, real=True)
+    t = pa.table(
+        {
+            "media_id": pa.array(["m0"]),
+            "payload": pa.array([payload], type=pa.binary()),
+            "media_type": pa.array(["image"]),
+        }
+    )
+    out = ex(t)
+    f = np.asarray(out.column("features").to_pylist()[0], dtype=np.float32)
+    assert f.shape == (8,) and (f >= 0).all() and (f < 1).all()
 
 
 def test_fake_features_deterministic():
@@ -356,7 +397,10 @@ def test_media_pipeline_plumbing(ray_session):
             "media_type": pa.array(["image"] * 10),
         }
     )
-    out = multimodal.extract_features(ray.data.from_arrow(t), dim=8, concurrency=1)
+    # real=False: the payloads are synthetic bytes, not decodable images
+    out = multimodal.extract_features(
+        ray.data.from_arrow(t), dim=8, concurrency=1, real=False
+    )
     rows = out.take_all()
     assert len(rows) == 10
     assert len(rows[0]["features"]) == 8

@@ -145,6 +145,110 @@ def test_compact_index_folds_files(ray_session, index_dir):
     assert got2 == ["z1"]
 
 
+def test_file_bloom_probe_vectorized():
+    """any_might_contain_ints mirrors build_bloom's int hash pair: every
+    member probes True; a fixed disjoint candidate set probes False
+    (deterministic hashing — pinned, not probabilistic at test time)."""
+    import numpy as np
+
+    from tokcodec.bloom import any_might_contain_ints, build_bloom
+
+    members = pa.array(list(range(1000, 2000)), pa.int64())
+    bl = build_bloom(members)
+    assert any_might_contain_ints(bl, pa.array([1500], pa.int64()))
+    assert any_might_contain_ints(bl, pa.array([5, 1000], pa.int64()))
+    # 0 candidates: nothing to look up, file is skippable
+    assert not any_might_contain_ints(bl, pa.array([], pa.int64()))
+    disjoint = pa.array((np.arange(8) * 7 + 3_000_000_000).tolist(), pa.int64())
+    assert not any_might_contain_ints(bl, disjoint)
+
+
+def test_file_blooms_value_identical_and_skip(ray_session, tmp_path):
+    """file_blooms=True must be verdict-identical to the plain path, and
+    a shard file with no candidate overlap must actually be skippable
+    (probe returns False on its bloom sidecar)."""
+    from tokcodec.functions.incdedup import _file_bloom, _shard_files
+
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    for idx, fb in ((plain, False), (bloomed, True)):
+        a = _ids(dedup_against_index(_batch(SEED), idx, n_buckets=N_BUCKETS,
+                                     run_id="seed", file_blooms=fb))
+        b = _ids(dedup_against_index(_batch(NEW), idx, n_buckets=N_BUCKETS,
+                                     run_id="b1", file_blooms=fb))
+        assert (a, b) == (["s1", "s2", "s4"], ["n1", "n4"])
+    # every non-empty bloomed shard file carries a bloom sidecar over h1
+    import pyarrow.parquet as pq_
+
+    seen = 0
+    for d in os.listdir(bloomed):
+        if not d.startswith("bucket="):
+            continue
+        for f in _shard_files(os.path.join(bloomed, d)):
+            if pq_.read_metadata(f).num_rows == 0:
+                continue
+            bl = _file_bloom(f)
+            assert bl is not None and bl["col"] == "h1"
+            seen += 1
+    assert seen > 0
+    # compaction preserves the bloom on the folded file
+    compact_index(bloomed)
+    for d in os.listdir(bloomed):
+        if d.startswith("bucket="):
+            for f in _shard_files(os.path.join(bloomed, d)):
+                if pq_.read_metadata(f).num_rows:
+                    assert _file_bloom(f) is not None
+    # semantics still identical after compaction, with blooms probing
+    got = _ids(dedup_against_index(_batch(SEED + NEW), bloomed,
+                                   n_buckets=N_BUCKETS, run_id="b2",
+                                   file_blooms=True))
+    assert got == []
+
+
+def test_compact_skips_crashed_pending_run(ray_session, index_dir):
+    """A crashed batch's shard files must survive compaction: folding
+    them into compact.parquet would strip the run_id scoping and the
+    retry would drop its own docs as 'already present'."""
+    import json
+
+    from tokcodec.manifest import atomic_write_json
+
+    dedup_against_index(_batch(SEED), index_dir, n_buckets=N_BUCKETS, run_id="seed")
+    first = _ids(dedup_against_index(_batch(NEW), index_dir,
+                                     n_buckets=N_BUCKETS, run_id="b1"))
+    # simulate b1 crashing after its shard writes but before the
+    # completion record: files on disk, index.json never saw it
+    mp = os.path.join(index_dir, "index.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    assert "b1" in meta["completed_runs"]
+    meta["completed_runs"] = [r for r in meta["completed_runs"] if r != "b1"]
+    atomic_write_json(mp, meta)
+
+    def n_run_files(run):
+        return sum(
+            1
+            for d in os.listdir(index_dir)
+            if d.startswith("bucket=")
+            for f in os.listdir(os.path.join(index_dir, d))
+            if f == f"{run}.parquet"
+        )
+
+    compact_index(index_dir)
+    assert n_run_files("b1") > 0  # pending run untouched
+    assert n_run_files("seed") == 0  # completed run folded
+    # the retry still excludes its own earlier files and re-accepts the
+    # same docs instead of seeing them as already-present
+    retry = _ids(dedup_against_index(_batch(NEW), index_dir,
+                                     n_buckets=N_BUCKETS, run_id="b1"))
+    assert retry == first == ["n1", "n4"]
+    # the retry completed, so the next compact folds it
+    compact_index(index_dir)
+    assert n_run_files("b1") == 0
+    got = _ids(dedup_against_index(_batch(SEED + NEW), index_dir,
+                                   n_buckets=N_BUCKETS, run_id="b2"))
+    assert got == []
+
+
 # ------------------------------------------------ near-dup variant ----
 
 WORDS20 = [

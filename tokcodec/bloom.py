@@ -153,6 +153,39 @@ def build_bloom(arr: pa.Array, bits_per_key: int = _BITS_PER_KEY) -> dict | None
     }
 
 
+def any_might_contain_ints(bloom: dict, arr: pa.Array) -> bool:
+    """Vectorized 'could ANY of these int values be in the filter' —
+    the file-skip probe for the incremental-dedup shard blooms
+    (functions/incdedup.py): a shard file whose bloom provably contains
+    none of a batch's candidate hashes is never read.  Uses the same
+    `_int_hash_pair` as build_bloom, so build and probe are
+    value-identical by construction.  True = maybe (must read),
+    False = provably no overlap (skip the file)."""
+    if bloom.get("t") != "int":
+        return True
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if len(arr) - arr.null_count == 0:
+        return False  # no candidates: nothing to look up
+    h1, h2 = _int_hash_pair(arr)
+    packed = bloom.get("_bits")
+    if packed is None:
+        packed = np.frombuffer(base64.b64decode(bloom["b64"]), dtype=np.uint8)
+        bloom["_bits"] = packed
+    mask = np.uint64(bloom["m"] - 1)
+    alive = np.ones(len(h1), dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(bloom["k"]):
+            idx = (h1 + np.uint64(i) * h2) & mask
+            bit = (
+                packed[(idx >> np.uint64(3)).astype(np.int64)]
+                >> (idx & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1)
+            alive &= bit.astype(bool)
+            if not alive.any():
+                return False
+    return True
+
+
 def might_contain(bloom: dict, value) -> bool:
     """Conservative membership probe (True = maybe, False = provably
     absent).  Values whose type can't map onto the bloom's hash domain

@@ -298,6 +298,7 @@ def cmd_dedup(args) -> int:
         id_col=args.id_col,
         n_buckets=args.n_buckets,
         update_index=not args.no_update,
+        file_blooms=args.file_blooms,
     )
     if args.no_update and args.out:
         acc = acc.materialize()  # one execution for both write and count
@@ -408,6 +409,10 @@ def main(argv=None) -> int:
                     help="query-only: don't add accepted hashes to the index")
     dd.add_argument("--compact-only", action="store_true",
                     help="fold per-run shard files instead of deduping")
+    dd.add_argument("--file-blooms", action="store_true",
+                    help="write bloom sidecars next to shard files and probe "
+                         "them to skip no-overlap files (pays off for "
+                         "small batches against many-run indexes)")
     common(dd)
     dd.set_defaults(fn=cmd_dedup)
 

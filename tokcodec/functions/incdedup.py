@@ -36,8 +36,10 @@ single-node sandbox the local filesystem satisfies this; on a real
 cluster a node-local path would silently fragment the index per node.  Sizing: a shard is read whole per group, so pick
 ``n_buckets`` such that accepted_docs × 16 B / n_buckets fits a worker
 heap (10^12 docs at 64 Ki buckets → ~244 MB/shard).  ``compact_index``
-folds each bucket's files into one (distinct) file, bounding per-run
-file growth.
+folds each bucket's KNOWN-COMPLETE run files into one (distinct) file,
+bounding per-run file growth; runs not recorded complete (a crashed
+batch pending retry) are left untouched so the retry's own-run
+exclusion keeps working.
 
 No reference-repo counterpart: one of the training-pipeline extras the
 round brief asks for beyond parquet-extra's operator surface; the
@@ -59,6 +61,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from tokcodec.bloom import any_might_contain_ints, build_bloom
 from tokcodec.functions.dedup import fnv_min_partial, minhash_band_rows
 from tokcodec.functions.sortagg import sorted_group_reduce
 from tokcodec.manifest import atomic_write_bytes, atomic_write_json
@@ -112,6 +115,27 @@ def _ensure_meta(
     return n_buckets
 
 
+def _mark_run_complete(index_dir: str, run_id: str) -> None:
+    """Record ``run_id`` as known-complete in index.json — called only
+    AFTER the run's shard writes have all executed (the materialize()
+    barrier).  compact_index folds ONLY completed runs: a crashed batch
+    leaves its run_id unrecorded, so its partial shard files survive
+    compaction and the retry's own-run exclusion still sees them —
+    without this, compact could fold a crashed run's partial hashes
+    into compact.parquet and the retry would drop those docs as
+    'already present'.  Driver-side, single-writer-per-index contract
+    (same as the shard writes themselves)."""
+    import json
+
+    p = _meta_path(index_dir)
+    with open(p) as f:
+        meta = json.load(f)
+    done = meta.get("completed_runs", [])
+    if run_id not in done:
+        meta["completed_runs"] = done + [run_id]
+        atomic_write_json(p, meta)
+
+
 def _shard_files(sd: str, exclude_run: str | None = None) -> list[str]:
     if not os.path.isdir(sd):
         return []
@@ -125,18 +149,90 @@ def _shard_files(sd: str, exclude_run: str | None = None) -> list[str]:
     return out
 
 
-def _read_shard(sd: str, exclude_run: str | None = None) -> pa.Table | None:
+def _bloom_path(parquet_path: str) -> str:
+    return parquet_path[: -len(".parquet")] + ".bloom"
+
+
+def _file_bloom(path: str) -> dict | None:
+    """Read a shard file's bloom SIDECAR (None when absent).  The bloom
+    lives next to the parquet file, not in its footer metadata: an
+    embedded footer bloom taxes EVERY read of the file ~17% extra open
+    cost (measured: 2048 opens 0.83 s plain vs 0.97 s with embedded
+    blooms) while the sidecar costs only the probes that ask for it."""
+    import json
+
+    p = _bloom_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+# Above this many candidates the probe is pure overhead: with the
+# bloom's ~1% per-candidate false-positive rate, P(a file proves
+# no-overlap) = 0.99^c — under 8% at c=256 — so the sidecar reads and
+# k·c bit tests almost never save a file read (measured 0.67× on a
+# 200k-doc trickle batch without the gate; 1.26× at 20k docs where
+# c ≈ 78 per bucket clears it).
+_PROBE_MAX_CANDIDATES = 256
+
+
+def _read_shard(
+    sd: str,
+    exclude_run: str | None = None,
+    probe: tuple[str, pa.Array] | None = None,
+) -> pa.Table | None:
+    """Concat-read a bucket's shard files.  With ``probe`` = (col,
+    candidate values), files carrying a bloom sidecar over `col` are
+    probed first (vectorized any-hit) and skipped when they provably
+    contain none of the candidates — a tiny sidecar read instead of the
+    full file.  Files without a bloom (or over a different column) are
+    always read, and probing disengages when the candidate count makes
+    a skip implausible (see _PROBE_MAX_CANDIDATES)."""
     files = _shard_files(sd, exclude_run)
+    if probe is not None and len(probe[1]) > _PROBE_MAX_CANDIDATES:
+        probe = None
+    if probe is not None and files:
+        col, arr = probe
+        kept = []
+        for f in files:
+            bl = _file_bloom(f)
+            if bl is not None and bl.get("col") == col and not any_might_contain_ints(
+                bl, arr
+            ):
+                continue
+            kept.append(f)
+        files = kept
     if not files:
         return None
     return pa.concat_tables(pq.read_table(f, columns=["h1", "h2"]) for f in files)
 
 
-def _write_shard_file(sd: str, run_id: str, t: pa.Table) -> None:
+def _write_shard_file(
+    sd: str, run_id: str, t: pa.Table, bloom_col: str | None = None
+) -> None:
     os.makedirs(sd, exist_ok=True)
+    t = t.select(["h1", "h2"])
+    target = os.path.join(sd, f"{run_id}.parquet")
+    bl = None
+    if bloom_col is not None and t.num_rows:
+        bl = build_bloom(t.column(bloom_col).combine_chunks())
+        if bl is not None:
+            bl = {k: v for k, v in bl.items() if k != "_bits"}
+            bl["col"] = bloom_col
+    if bl is not None:
+        import json
+
+        # sidecar BEFORE the parquet rename: a reader that sees the
+        # parquet either finds a matching sidecar or none (no-skip —
+        # conservative); an orphan sidecar from a crash is overwritten
+        # or removed on the next write of this run_id
+        atomic_write_bytes(_bloom_path(target), json.dumps(bl).encode())
+    elif os.path.exists(_bloom_path(target)):
+        os.remove(_bloom_path(target))  # stale sidecar from a prior mode
     buf = io.BytesIO()
-    pq.write_table(t.select(["h1", "h2"]), buf, compression="zstd")
-    atomic_write_bytes(os.path.join(sd, f"{run_id}.parquet"), buf.getvalue())
+    pq.write_table(t, buf, compression="zstd")
+    atomic_write_bytes(target, buf.getvalue())
 
 
 def dedup_against_index(
@@ -147,6 +243,7 @@ def dedup_against_index(
     id_col: str = "doc_id",
     n_buckets: int = 256,
     update_index: bool = True,
+    file_blooms: bool = False,
 ):
     """Drop every row whose content hash is already in the index (or
     duplicated within `ds` — MIN(id) wins, as in exact_dedup); return
@@ -154,7 +251,15 @@ def dedup_against_index(
     ``update_index`` the accepted hashes are appended to the index
     under ``run_id`` (atomic, retry-idempotent — see module docstring).
     ``run_id`` must be unique per batch: retrying a crashed batch
-    reuses it, a NEW batch must not (see module docstring)."""
+    reuses it, a NEW batch must not (see module docstring).
+
+    ``file_blooms``: write a bloom sidecar over h1 next to each shard file
+    and probe existing files' blooms before reading — a shard file that
+    provably holds none of the bucket's candidate hashes is never
+    opened.  Pays off in the trickle regime (small batch vs a
+    many-run index: few candidates per bucket → high skip odds); a
+    no-op on files written without blooms.  Measured numbers in
+    SCALE.md (tools/bench_incdedup.py --blooms)."""
     if not _RUN_ID_RE.match(run_id) or run_id == "compact":
         raise ValueError(
             f"run_id must match {_RUN_ID_RE.pattern} and not be the "
@@ -181,14 +286,20 @@ def dedup_against_index(
             }
         )
         sd = _shard_dir(index_dir, int(b))
-        idx = _read_shard(sd, exclude_run=run_id if update_index else None)
+        idx = _read_shard(
+            sd,
+            exclude_run=run_id if update_index else None,
+            probe=("h1", cand.column("h1")) if file_blooms else None,
+        )
         if idx is not None:
             cand = cand.join(idx, keys=["h1", "h2"], join_type="left anti")
         if update_index:
             # empty runs still write (an empty file), so a retry that
             # lands AFTER a sibling run added these hashes can't flip
             # this run's verdicts: exclusion is by name, not content
-            _write_shard_file(sd, run_id, cand)
+            _write_shard_file(
+                sd, run_id, cand, bloom_col="h1" if file_blooms else None
+            )
         return cand.select([id_col, "h1", "h2"])
 
     out = (
@@ -203,21 +314,29 @@ def dedup_against_index(
         # (id, h1, h2) projection of the batch — they fit the object
         # store and spill if not (the corpus text never materializes).
         out = out.materialize()
+        _mark_run_complete(index_dir, run_id)
     return out
 
 
 def compact_index(index_dir: str) -> dict:
-    """Fold every bucket's files into one distinct-hash file (named
-    ``compact.parquet``) and remove the per-run files — bounds file
-    count growth across runs.  One Ray task per bucket; run it between
-    batches, never concurrently with a dedup run.  Returns
-    {"buckets", "hashes"}."""
+    """Fold every bucket's KNOWN-COMPLETE run files into one
+    distinct-hash file (named ``compact.parquet``) and remove the
+    folded per-run files — bounds file count growth across runs.  Only
+    runs recorded complete by `_mark_run_complete` are folded: a
+    crashed batch's partial shards stay as-is, so its retry (which
+    excludes files named by its own run_id) still re-adjudicates
+    correctly — folding them into compact.parquet would strip the
+    run_id from those hashes and the retry would wrongly drop its own
+    docs as 'already present'.  One Ray task per bucket; safe to run
+    any time between dedup runs, including while a crashed batch is
+    pending retry.  Returns {"buckets", "hashes"}."""
     import json
 
     import ray.data
 
     with open(_meta_path(index_dir)) as f:
         meta = json.load(f)
+    done = set(meta.get("completed_runs", []))
     dirs = [
         os.path.join(index_dir, d)
         for d in sorted(os.listdir(index_dir))
@@ -227,7 +346,12 @@ def compact_index(index_dir: str) -> dict:
     def _fold(batch: pa.Table) -> pa.Table:
         out = []
         for sd in batch.column("dir").to_pylist():
-            files = _shard_files(sd)
+            files = [
+                f
+                for f in _shard_files(sd)
+                if os.path.basename(f)[: -len(".parquet")] in done
+                or os.path.basename(f) == "compact.parquet"
+            ]
             if not files:
                 out.append(0)
                 continue
@@ -235,10 +359,23 @@ def compact_index(index_dir: str) -> dict:
                 pq.read_table(f, columns=["h1", "h2"]) for f in files
             )
             distinct = merged.group_by(["h1", "h2"]).aggregate([])
-            _write_shard_file(sd, "compact", distinct)
+            # folding must not lose the skip capability: if any folded
+            # file carried a bloom sidecar, the compact file gets one
+            # over the same column
+            bloom_col = next(
+                (
+                    bl["col"]
+                    for bl in (_file_bloom(f) for f in files)
+                    if bl is not None and "col" in bl
+                ),
+                None,
+            )
+            _write_shard_file(sd, "compact", distinct, bloom_col=bloom_col)
             for f in files:
                 if os.path.basename(f) != "compact.parquet":
                     os.remove(f)
+                    if os.path.exists(_bloom_path(f)):
+                        os.remove(_bloom_path(f))
             out.append(distinct.num_rows)
         return pa.table({"hashes": pa.array(out, pa.int64())})
 
@@ -249,6 +386,16 @@ def compact_index(index_dir: str) -> dict:
         .map_batches(_fold, batch_size=1, batch_format="pyarrow")
         .take_all()
     )
+    # the folded runs' files are gone everywhere; prune their ids so
+    # completed_runs stays bounded across compact cycles (reusing a
+    # run_id was already forbidden by contract, so no exclusion is lost)
+    if done:
+        with open(_meta_path(index_dir)) as f:
+            meta = json.load(f)
+        meta["completed_runs"] = [
+            r for r in meta.get("completed_runs", []) if r not in done
+        ]
+        atomic_write_json(_meta_path(index_dir), meta)
     return {
         "buckets": len(dirs),
         "hashes": int(sum(r["hashes"] for r in res)),
@@ -269,6 +416,7 @@ def near_dup_against_index(
     k: int = 3,
     seed: int = 7,
     shingle: str = "word",
+    file_blooms: bool = False,
 ):
     """Incremental NEAR-duplicate filter: flag each batch doc whose
     MinHash band set collides with the accepted corpus (any band in the
@@ -330,7 +478,13 @@ def near_dup_against_index(
     def _flag(t: pa.Table) -> pa.Table:
         b = t.column("bucket")[0].as_py()
         sd = _shard_dir(index_dir, int(b))
-        idx = _read_shard(sd, exclude_run=run_id if update_index else None)
+        # file blooms go over h2 (the band hash, uniform) — h1 is the
+        # band id, bands distinct values, useless as a filter key
+        idx = _read_shard(
+            sd,
+            exclude_run=run_id if update_index else None,
+            probe=("h2", t.column("h2")) if file_blooms else None,
+        )
         if idx is not None:
             # distinct keys + hit marker; the outer join may reorder, so
             # every downstream mask is computed AFTER the re-sort below
@@ -368,7 +522,12 @@ def near_dup_against_index(
         flagged = hit | ~first
         if update_index:
             keep = first & ~hit  # bucket-locally-clean keys enter the index
-            _write_shard_file(sd, run_id, t.filter(pa.array(keep)).select(["h1", "h2"]))
+            _write_shard_file(
+                sd,
+                run_id,
+                t.filter(pa.array(keep)).select(["h1", "h2"]),
+                bloom_col="h2" if file_blooms else None,
+            )
         ids = t.column(id_col)
         out_ids = [pc.unique(ids.filter(pa.array(flagged)))]
         flags = [np.ones(len(out_ids[0]), np.int8)]
@@ -397,6 +556,7 @@ def near_dup_against_index(
         # dedup_against_index); the mark table is 1 + flagged-bands
         # rows per doc, far narrower than the corpus
         marks = marks.materialize()
+        _mark_run_complete(index_dir, run_id)
     verdict = sorted_group_reduce(marks, [id_col], [("flag", "max", "flag")])
     return verdict.map_batches(
         lambda t: t.filter(pc.equal(t.column("flag"), 0)).select([id_col]),

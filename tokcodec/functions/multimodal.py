@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary`
 columns with typed metadata.
 
-The decode/resize/frame-sample kernels need codecs (PIL/ffmpeg/...) that
-are NOT in this environment, so the media kernels are STUBS behind
-``NotImplementedError`` or a deterministic fake — but the Ray-side
-plumbing (schema, actor signature, batch sizing, output layout) is real
-and tested: an actor-pool `map_batches` stage over pyarrow batches with
-small batch_size because payload rows are large.
+The decode/resize/frame-sample kernels need codec libraries
+(PIL/ffmpeg/...) that are NOT in this environment, so the stub boundary
+is CONDITIONAL: `MediaFeatureExtractor` probes for PIL once per actor at
+``__init__`` and decodes real image bytes when the library exists,
+falling back to a deterministic (oracle-expressible) fake otherwise —
+the Ray-side plumbing (schema, actor signature, batch sizing, output
+layout) is identical on both paths and tested here; the real path has
+an `importorskip`-gated pytest that runs wherever PIL is installed.
+Video frame sampling stays an explicit stub (no demuxer library to
+probe for).  Batches stay small because payload rows are large.
 """
 
 from __future__ import annotations
@@ -31,9 +35,27 @@ MEDIA_SCHEMA = pa.schema(
 MEDIA_BATCH_SIZE = 64
 
 
+def _try_pil():
+    """One probe for the image codec; callers cache the result per
+    actor (never per batch)."""
+    try:
+        from PIL import Image
+
+        return Image
+    except Exception:
+        return None
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real implementation requires an image codec library."""
-    raise NotImplementedError("image decode requires PIL/opencv (not in this env)")
+    """Decode image bytes to a grayscale uint8 array via PIL when the
+    library exists; NotImplementedError otherwise (this sandbox)."""
+    Image = _try_pil()
+    if Image is None:
+        raise NotImplementedError("image decode requires PIL (not in this env)")
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
 
 
 def fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
@@ -52,20 +74,43 @@ def fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
 
 
 class MediaFeatureExtractor:
-    """Actor-pool stage: "model" load once per actor in __init__, batched
-    inference in __call__.  Swap `fake_decode_features` for a real decode
-    + model when the codec libs exist."""
+    """Actor-pool stage: "model"/codec load once per actor in __init__,
+    batched inference in __call__.
 
-    def __init__(self, dim: int = 16, real: bool = False):
+    ``real`` is tri-state: None (default) probes for PIL at actor init
+    and uses a real decode+downsample when present, the deterministic
+    fake otherwise; True demands the codec (fail fast at __init__, not
+    per batch); False pins the fake — the ORACLE-PARITY mode the driver
+    queries use, since their payloads are synthetic bytes and the
+    oracle SQL reproduces the md5 fake exactly."""
+
+    def __init__(self, dim: int = 16, real: bool | None = None):
         self.dim = dim
-        self.real = real
-        # real init would load the model/codec here, once per actor
+        self._Image = _try_pil() if real in (None, True) else None
+        if real is True and self._Image is None:
+            raise NotImplementedError(
+                "real media decode requires PIL (not in this env)"
+            )
+        self.real = self._Image is not None if real is None else real
+
+    def _real_features(self, payload: bytes) -> np.ndarray:
+        """Decode + fixed-size downsample: grayscale, resized to
+        (dim, 1) — a stand-in 'embedding' with the same output contract
+        (dim float32 values in [0, 1)) as the fake path."""
+        import io
+
+        with self._Image.open(io.BytesIO(payload)) as im:
+            small = im.convert("L").resize((self.dim, 1))
+            return np.asarray(small, dtype=np.float32).reshape(-1) / np.float32(
+                256.0
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         if self.real:
-            raise NotImplementedError("real media decode not available in this env")
-        feats = np.stack([fake_decode_features(p, self.dim) for p in payloads])
+            feats = np.stack([self._real_features(p) for p in payloads])
+        else:
+            feats = np.stack([fake_decode_features(p, self.dim) for p in payloads])
         offsets = np.arange(0, (len(payloads) + 1) * self.dim, self.dim, dtype=np.int32)
         feat_col = pa.ListArray.from_arrays(
             pa.array(offsets), pa.array(feats.reshape(-1), type=pa.float32())
@@ -78,11 +123,15 @@ class MediaFeatureExtractor:
         return out
 
 
-def extract_features(ds, dim: int = 16, concurrency: int = 4):
-    """documents-with-payloads → features dataset (payload dropped)."""
+def extract_features(ds, dim: int = 16, concurrency: int = 4,
+                     real: bool | None = None):
+    """documents-with-payloads → features dataset (payload dropped).
+    ``real`` as in MediaFeatureExtractor: None = auto-probe PIL per
+    actor, False = pinned deterministic fake (oracle-parity), True =
+    require the codec."""
     return ds.map_batches(
         MediaFeatureExtractor,
-        fn_constructor_kwargs={"dim": dim},
+        fn_constructor_kwargs={"dim": dim, "real": real},
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,

@@ -1202,7 +1202,10 @@ def multimodal_features(sf_dir: str):
         )
 
     media = ds.map_batches(to_media, batch_format="pyarrow")
-    feats = multimodal.extract_features(media, dim=8, concurrency=2)
+    # real=False pins the deterministic md5 fake: the payloads are
+    # synthetic bytes and the oracle SQL reproduces exactly that path —
+    # auto-probing a codec here would break parity wherever PIL exists
+    feats = multimodal.extract_features(media, dim=8, concurrency=2, real=False)
 
     def flatten(t: pa.Table) -> pa.Table:
         f = t.column("features").combine_chunks()

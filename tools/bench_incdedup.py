@@ -12,7 +12,12 @@ sharded parquet.  Measures, at 32 CPUs:
 - the near-dup (MinHash band) sibling on its own synthetic corpus
   (default 200k docs, same generator) — its num_perm=64 signature pass
   dominates, so the smaller corpus keeps the bench short while still
-  showing per-doc cost.
+  showing per-doc cost;
+- the trickle regime for per-shard-file blooms (file_blooms=True):
+  small vs large all-new batches against identical 8-run indexes with
+  blooms on/off, reporting the read-side speedup at each batch size
+  (the skip only triggers when a bucket's candidate count is small
+  enough that a whole file can prove no-overlap).
 
 Usage: python tools/bench_incdedup.py [n_docs] [near_n]
 """
@@ -59,6 +64,23 @@ def _synth_corpus(root: str, n: int, shards: int = 32) -> tuple[str, str]:
             )
     open(marker, "w").close()
     return a_dir, b_dir
+
+
+def _trickle_docs(base: int, n: int, tag: str):
+    """n distinct docs with ids/texts keyed off `base` — all-new
+    content relative to any other (base, tag) range."""
+    import numpy as np
+    import pyarrow as pa
+
+    i = np.arange(base, base + n, dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(i),
+            "text": pa.array(
+                [f"{tag} trickle document {k} body words" for k in i], pa.string()
+            ),
+        }
+    )
 
 
 def main() -> None:
@@ -116,6 +138,44 @@ def main() -> None:
     out["exact"]["index_bytes"] = sz
     out["exact"]["bytes_per_hash"] = round(sz / max(1, comp["hashes"]), 2)
     shutil.rmtree(idx, ignore_errors=True)
+
+    # ---- trickle regime: per-shard-file blooms on vs off -------------
+    # A small all-new batch against a many-run index: with few
+    # candidates per bucket, a file's bloom sidecar can prove "no
+    # overlap" and skip the read.  Both legs get IDENTICAL indexes
+    # (8 seed runs of 100k docs → 8 files per bucket); the trickle
+    # query runs update_index=False so reps are pure read+anti-join.
+    out["trickle"] = {}
+    legs = {}
+    for name, fb in (("plain", False), ("bloomed", True)):
+        lidx = f"/tmp/tokcodec_bench_trickle_{name}"
+        shutil.rmtree(lidx, ignore_errors=True)
+        for r in range(8):
+            seed_tbl = _trickle_docs(r * 100_000, 100_000, "seed")
+            dedup_against_index(ray.data.from_arrow(seed_tbl), lidx,
+                                run_id=f"s{r}", n_buckets=256, file_blooms=fb)
+        legs[name] = lidx
+    for n_new in (20_000, 200_000):
+        batch_tbl = _trickle_docs(10_000_000, n_new, "new")
+        for name, lidx in legs.items():
+            reps = []
+            for _ in range(3):
+                t0 = time.time()
+                q = dedup_against_index(
+                    ray.data.from_arrow(batch_tbl), lidx, run_id="q",
+                    n_buckets=256, update_index=False,
+                    file_blooms=(name == "bloomed"))
+                n_acc = q.count()
+                reps.append(time.time() - t0)
+            out["trickle"][f"{name}_{n_new}"] = {
+                "best_s": round(min(reps), 3),
+                "accepted": n_acc,
+            }
+        p = out["trickle"][f"plain_{n_new}"]["best_s"]
+        b = out["trickle"][f"bloomed_{n_new}"]["best_s"]
+        out["trickle"][f"speedup_{n_new}"] = round(p / b, 2)
+    for lidx in legs.values():
+        shutil.rmtree(lidx, ignore_errors=True)
 
     # near-dup sibling on a synthetic corpus sized by the MinHash pass
     # (num_perm=64 signatures dominate; near_n defaults to 200k docs)
