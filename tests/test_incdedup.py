@@ -256,13 +256,14 @@ WORDS20 = [
 ]  # six fully word-disjoint 20-word docs
 
 
-def test_near_dup_seed_then_batch(ray_session, tmp_path):
+@pytest.mark.parametrize("file_blooms", [False, True])
+def test_near_dup_seed_then_batch(ray_session, tmp_path, file_blooms):
     from tokcodec.functions.incdedup import near_dup_against_index
 
     idx = str(tmp_path / "nidx")
     seed = [(f"s{i}", WORDS20[i]) for i in range(4)]
-    got = _ids(near_dup_against_index(_batch(seed), idx,
-                                      n_buckets=N_BUCKETS, run_id="seed"))
+    got = _ids(near_dup_against_index(_batch(seed), idx, n_buckets=N_BUCKETS,
+                                      run_id="seed", file_blooms=file_blooms))
     assert got == ["s0", "s1", "s2", "s3"]  # mutually word-disjoint
 
     batch = [
@@ -271,13 +272,13 @@ def test_near_dup_seed_then_batch(ray_session, tmp_path):
         ("n3", WORDS20[5]),               # smaller id, accepted
         ("n4", WORDS20[5] + " extra"),    # near-dup of n3 within batch: flagged
     ]
-    got2 = _ids(near_dup_against_index(_batch(batch), idx,
-                                       n_buckets=N_BUCKETS, run_id="b1"))
+    got2 = _ids(near_dup_against_index(_batch(batch), idx, n_buckets=N_BUCKETS,
+                                       run_id="b1", file_blooms=file_blooms))
     assert got2 == ["n2", "n3"]
 
     # everything seen so far is now a near-dup
-    got3 = _ids(near_dup_against_index(_batch(batch), idx,
-                                       n_buckets=N_BUCKETS, run_id="b2"))
+    got3 = _ids(near_dup_against_index(_batch(batch), idx, n_buckets=N_BUCKETS,
+                                       run_id="b2", file_blooms=file_blooms))
     assert got3 == []
 
 
@@ -320,10 +321,13 @@ def test_near_dup_duplicated_batch_row_not_self_flagged(ray_session, tmp_path):
     assert got2 == []
 
 
-def test_randomized_batches_match_reference_model(ray_session, tmp_path):
+@pytest.mark.parametrize("file_blooms", [False, True])
+def test_randomized_batches_match_reference_model(ray_session, tmp_path, file_blooms):
     """Seeded random batch sequences vs a driver-side reference model:
     accepted == {min id per text among texts unseen before this batch},
-    batch after batch, for several bucket widths."""
+    batch after batch, for several bucket widths.  Runs with and
+    without shard blooms — a bloom can only ever skip a file that
+    provably holds no candidate, so verdicts must be identical."""
     import numpy as np
 
     rng = np.random.RandomState(7)
@@ -343,7 +347,8 @@ def test_randomized_batches_match_reference_model(ray_session, tmp_path):
                 for t in {t for _, t in rows}
                 if t not in seen
             )
-            got = _ids(dedup_against_index(_batch(rows), idx,
-                                           n_buckets=nb, run_id=f"b{b}"))
+            got = _ids(dedup_against_index(_batch(rows), idx, n_buckets=nb,
+                                           run_id=f"b{b}",
+                                           file_blooms=file_blooms))
             assert got == expect, (trial, b)
             seen |= {t for _, t in rows}

@@ -966,19 +966,48 @@ def dedup_minhash_recall(sf_dir: str):
 def _dedup_recall_bar(sf_dir: str, **shingle_kw) -> pa.Table:
     """Shared injected-pair recall bar: LSH candidates -> exact Jaccard
     verify (word- or char-shingled via `shingle_kw`) -> did the pipeline
-    recover >= 95% of the deterministic (id, id+1M) near-dups?"""
-    import pyarrow.parquet as pq
+    recover >= 95% of the deterministic (id, id+1M) near-dups?
 
+    Driver state is bounded by the pipeline's own verified-pair output
+    (already materialized by verify_jaccard's scoring tail), never the
+    corpus: the injected COUNT is a distributed aggregate over
+    documents, and the hits are read straight off the verified pairs —
+    a pair (a, a+1M) with a % 8 == 0 IS an injected pair recovered, so
+    no per-id membership loop over a driver-side corpus list."""
     ds = _docs_with_near_dups(sf_dir)
     pairs = dedup.lsh_candidate_pairs(ds, **shingle_kw)
     verified = dedup.verify_jaccard(ds, pairs, tau=0.5, **shingle_kw)
-    found = {(r["a"], r["b"]) for r in verified}
-    ids = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).column("doc_id").to_pylist()
-    injected = [i for i in ids if i % 8 == 0]
-    n = len(injected)
-    hit = sum((i, i + 1_000_000) in found for i in injected)
+    hit = len(
+        {
+            r["a"]
+            for r in verified
+            if r["a"] % 8 == 0 and r["b"] == r["a"] + 1_000_000
+        }
+    )
+    n = int(
+        _rp(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.equal(
+                                        pc.bit_wise_and(t.column("doc_id"), 7), 0
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sum("n")
+    )
     return pa.table(
         {
             "n_injected": pa.array([n], pa.int64()),
