@@ -30,6 +30,36 @@ def test_int_blooms_cover_all_widths_and_signs():
         assert sum(might_contain(b, v) for v in range(10**6, 10**6 + 2000)) < 100
 
 
+def test_any_hit_equals_or_of_scalar_probes():
+    """The vectorized any-hit probe (incdedup shard-file skipping) must
+    be EXACTLY the OR of scalar might_contain over the probe set — both
+    sides share the same hash pair, so this is an equivalence pin, not
+    a statistical bound."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tokcodec.bloom import any_might_contain_ints
+
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        members=st.lists(i64, min_size=1, max_size=200, unique=True),
+        probes=st.lists(i64, min_size=0, max_size=50),
+        pick=st.integers(0, 10**9),
+    )
+    def _case(members, probes, pick):
+        b = build_bloom(pa.array(members, pa.int64()))
+        want = any(might_contain(b, v) for v in probes)
+        got = any_might_contain_ints(b, pa.array(probes, pa.int64()))
+        assert got == want
+        # a probe set containing any member can never be skippable
+        withmem = probes + [members[pick % len(members)]]
+        assert any_might_contain_ints(b, pa.array(withmem, pa.int64()))
+
+    _case()
+
+
 def test_type_domain_mismatch_is_conservative():
     bs = build_bloom(pa.array(["a", "b"]))
     bi = build_bloom(pa.array([1, 2]))
