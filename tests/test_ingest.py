@@ -76,6 +76,31 @@ def test_ingest_formats_token_identical(ray_session, tmp_path, fmt):
     assert got.select(want.column_names).equals(want)
 
 
+def test_ingest_files_one_doc_per_file(ray_session, tmp_path):
+    """fmt="files": one document per file, doc_id = basename, source =
+    "unknown" (no source column exists), token-identical to tokenizing
+    the same texts directly; a non-utf8 byte degrades to U+FFFD
+    instead of killing the run."""
+    src = tmp_path / "corpus"
+    src.mkdir()
+    for d in DOCS:
+        (src / f"{d['doc_id']}.txt").write_text(d["text"])
+    (src / "z9.txt").write_bytes(b"bad \xff byte")
+    out = str(tmp_path / "out_files")
+    summary = ingest_documents(str(src), out, fmt="files")
+    assert summary["rows"] == len(DOCS) + 1
+    got = _read_back(out)
+    want_batch = pa.table(
+        {
+            "doc_id": pa.array([f"{d['doc_id']}.txt" for d in DOCS] + ["z9.txt"]),
+            "text": pa.array([d["text"] for d in DOCS] + ["bad � byte"]),
+        }
+    )
+    want = tokenize(want_batch).sort_by("doc_id")
+    assert got.select(want.column_names).equals(want)
+    assert got.column("source").to_pylist() == ["unknown"] * (len(DOCS) + 1)
+
+
 def test_ingest_missing_text_col_fails_fast(ray_session, tmp_path):
     src = tmp_path / "docs.jsonl"
     src.write_text('{"doc_id": "x", "body": "hello"}\n')

@@ -381,7 +381,9 @@ def main(argv=None) -> int:
     ig = sub.add_parser("ingest")
     ig.add_argument("--input", required=True)
     ig.add_argument("--out", required=True)
-    ig.add_argument("--format", choices=["jsonl", "csv", "parquet"], default="jsonl")
+    ig.add_argument("--format", choices=["jsonl", "csv", "parquet", "files"],
+                    default="jsonl",
+                    help="files = one document per file (doc_id = basename)")
     ig.add_argument("--text-col", default="text")
     ig.add_argument("--id-col", default="doc_id")
     ig.add_argument("--source-col", default="source")

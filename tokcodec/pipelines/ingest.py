@@ -3,9 +3,10 @@
 The reference repo's value proposition is reading/writing many record
 formats through one schema layer (parquet-avro / parquet-types /
 parquet-tensorflow modules); this is the Ray-Data analog for the text
-corpus formats an LLM-data pipeline actually receives: JSONL, CSV, and
-parquet document tables, all funneled into the north-rule tokenized
-schema (doc_id, tokens, n_tok, source) and encoded as TOKB blocks.
+corpus formats an LLM-data pipeline actually receives: JSONL, CSV,
+parquet document tables, and one-document-per-file directories, all
+funneled into the north-rule tokenized schema (doc_id, tokens, n_tok,
+source) and encoded as TOKB blocks.
 
 One streaming pass, no shuffle: read → tokenize (vectorized
 `functions.text.tokenize`, no per-row Python) → `TokbDatasink`.  Each
@@ -21,7 +22,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 
-_FORMATS = ("jsonl", "csv", "parquet")
+_FORMATS = ("jsonl", "csv", "parquet", "files")
 
 
 def _reader(fmt: str):
@@ -32,6 +33,39 @@ def _reader(fmt: str):
         "csv": ray.data.read_csv,
         "parquet": ray.data.read_parquet,
     }[fmt]
+
+
+def _read_doc_files(input_paths):
+    """fmt="files": one document per FILE (the rawest corpus layout —
+    a directory of .txt shards).  `read_binary_files(include_paths=True)`
+    gives block-parallel reads with per-row provenance; doc_id is the
+    file's basename (unique within a corpus directory by construction),
+    text is utf-8 with errors="replace" (a corrupt byte must not kill a
+    100 TB run — per-ROW Python here is per-FILE, the same cost shape
+    as the multimodal payload stages)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_binary_files(input_paths, include_paths=True)
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        paths = batch.column("path").to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [os.path.basename(p) for p in paths], pa.string()
+                ),
+                "text": pa.array(
+                    [b.decode("utf-8", errors="replace") for b in payloads],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(to_docs, batch_format="pyarrow")
 
 
 def ingest_documents(
@@ -52,7 +86,10 @@ def ingest_documents(
 
     Documents missing `source_col` get source="unknown"; `id_col` must
     exist (ids are the dedup/lineage key downstream — refuse to invent
-    them silently).
+    them silently).  Exception: `fmt="files"` reads one document per
+    FILE and derives doc_id from the file's basename (explicit,
+    deterministic provenance — not an invented id), text from its
+    utf-8 bytes; `text_col`/`id_col` overrides don't apply there.
     """
     from tokcodec.functions.text import tokenize
     from tokcodec.sources.sink import TokbDatasink
@@ -72,12 +109,17 @@ def ingest_documents(
                 f"{out_dir} already holds {len(stale)} block(s) "
                 f"(e.g. {stale[0]}); ingest into a fresh directory"
             )
-    ds = _reader(fmt)(input_paths)
-
-    names = ds.schema().names
-    for col in (id_col, text_col):
-        if col not in names:
-            raise ValueError(f"input is missing required column {col!r} (has {names})")
+    if fmt == "files":
+        ds = _read_doc_files(input_paths)
+        id_col, text_col = "doc_id", "text"
+    else:
+        ds = _reader(fmt)(input_paths)
+        names = ds.schema().names
+        for col in (id_col, text_col):
+            if col not in names:
+                raise ValueError(
+                    f"input is missing required column {col!r} (has {names})"
+                )
 
     def _tok(batch: pa.Table) -> pa.Table:
         # csv/json readers may surface ids as ints — the north-rule
