@@ -172,6 +172,52 @@ def test_simhash_close_for_similar():
     assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])
 
 
+def test_flag_contaminated_counts_and_misses(ray_session):
+    """Exact-count semantics: n_hits = distinct 3-grams shared with the
+    benchmark set; disjoint docs are absent from the output."""
+    import ray.data
+
+    bench = pa.table(
+        {
+            "doc_id": [100],
+            "text": ["alpha beta gamma delta epsilon"],  # grams: abc bcd cde
+        }
+    )
+    train = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon",  # all 3 bench grams
+                "zzz alpha beta gamma qqq",        # exactly one (a b g)
+                "totally disjoint words here now", # none
+            ],
+        }
+    )
+    out = dedup.flag_contaminated(
+        ray.data.from_arrow(train), ray.data.from_arrow(bench)
+    ).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    assert got == {1: 3, 2: 1}
+
+
+def test_flag_contaminated_empty_bench_and_guard(ray_session):
+    import ray.data
+
+    train = ray.data.from_arrow(
+        pa.table({"doc_id": [1], "text": ["some words in here okay"]})
+    )
+    empty_bench = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    assert dedup.flag_contaminated(train, empty_bench).count() == 0
+    big_bench = ray.data.from_arrow(
+        pa.table({"doc_id": [9], "text": ["a b c d e f g h i j"]})
+    )
+    with pytest.raises(ValueError, match="hash-partition"):
+        dedup.flag_contaminated(train, big_bench, max_bench_shingles=2)
+
+
 def test_exact_dedup_keeps_min_id(ray_session):
     import ray.data
 

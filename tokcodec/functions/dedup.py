@@ -581,6 +581,96 @@ def _score_shingle_rows(rows, tau: float):
     return out
 
 
+# ---------------------------------------------- benchmark decontamination ----
+
+
+def flag_contaminated(
+    ds,
+    bench_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    shingle: str = "word",
+    max_bench_shingles: int = 50_000_000,
+):
+    """Benchmark decontamination: flag every training doc that shares at
+    least ONE k-shingle with the benchmark corpus; returns a Dataset of
+    (id_col, n_hits) for contaminated docs only, n_hits = the doc's
+    count of DISTINCT shingles present in the benchmark set.
+
+    Scale shape: eval sets are tiny next to a training corpus, so the
+    benchmark folds DISTRIBUTIVELY to per-block distinct shingle hashes,
+    the driver merges only fixed-width hash arrays (guarded by
+    ``max_bench_shingles`` ≈ 400 MB of uint64 — above that,
+    hash-partition both sides instead of broadcasting), and the sorted
+    set ships ONCE via ray.put; the corpus pass is one `map_batches`
+    with vectorized searchsorted membership — no shuffle, the corpus
+    streams.  Same word rule / batched FNV as the LSH dedup family, so
+    a hash collision can only OVER-flag, at P ≈ |bench|·|doc
+    shingles| / 2^64 — the conservative direction for
+    decontamination."""
+    import ray
+
+    def bench_part(t: pa.Table) -> pa.Table:
+        _, sh = _shingles(t.column(text_col).to_pylist(), k, shingle)
+        return pa.table({"sh": pa.array(np.unique(sh).view(np.int64), pa.int64())})
+
+    chunks, total = [], 0
+    for part in bench_ds.map_batches(
+        bench_part, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        arr = part.column("sh").to_numpy(zero_copy_only=False)
+        total += len(arr)
+        if total > max_bench_shingles:
+            raise ValueError(
+                f"benchmark shingle set exceeds {max_bench_shingles} hashes; "
+                "hash-partition both sides instead of broadcasting"
+            )
+        chunks.append(arr)
+    bench = (
+        np.unique(np.concatenate(chunks).view(np.uint64))
+        if chunks
+        else np.empty(0, np.uint64)
+    )
+    ref = ray.put(bench)
+
+    def scan(t: pa.Table) -> pa.Table:
+        bench_sorted = ray.get(ref)  # zero-copy from local plasma
+        empty = pa.table(
+            {
+                id_col: pa.array([], t.schema.field(id_col).type),
+                "n_hits": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or len(bench_sorted) == 0:
+            return empty
+        didx, sh = _shingles(t.column(text_col).to_pylist(), k, shingle)
+        if len(sh) == 0:
+            return empty
+        # per-doc DISTINCT shingles (set semantics, as everywhere else)
+        order = np.lexsort((sh, didx))
+        d_s, h_s = didx[order], sh[order]
+        keep = np.ones(len(d_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        d_s, h_s = d_s[keep], h_s[keep]
+        pos = np.searchsorted(bench_sorted, h_s)
+        hit = (pos < len(bench_sorted)) & (
+            bench_sorted[np.minimum(pos, len(bench_sorted) - 1)] == h_s
+        )
+        counts = np.bincount(d_s[hit], minlength=t.num_rows)
+        flagged = np.flatnonzero(counts > 0)
+        if not len(flagged):
+            return empty
+        return pa.table(
+            {
+                id_col: t.column(id_col).take(pa.array(flagged, pa.int64())),
+                "n_hits": pa.array(counts[flagged], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- simhash ----
 
 

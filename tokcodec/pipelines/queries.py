@@ -1937,6 +1937,52 @@ def sidecar_quality_documents(sf_dir: str):
     return read_with_sidecars(out, ["q"], columns=["doc_id", "q_words"])
 
 
+# ------------------------------------------- benchmark decontamination ----
+
+
+def decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination (functions/dedup.py::flag_contaminated):
+    the 'benchmark' is the deterministic doc_id % 17 == 0 slice of
+    documents, training = the rest; a training doc is contaminated iff
+    it shares >= 1 word 3-gram with any benchmark doc.  Returns
+    (doc_id, n_hits), n_hits = the doc's count of distinct contaminated
+    3-grams.  The benchmark shingle set folds distributively and
+    broadcasts once via ray.put; the training pass is one shuffle-free
+    vectorized-membership map_batches.  Oracle = the same gram join in
+    SQL (lateral UNNEST(generate_series) over the word arrays —
+    value-exact because the shingle word rule is the shared
+    [A-Za-z0-9]+ and every testdata doc has >= k words, so the
+    short-doc padding path never fires)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_f(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(did % 17 == 0))
+
+    def train_f(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(did % 17 != 0))
+
+    return dedup.flag_contaminated(
+        ds.map_batches(train_f, batch_format="pyarrow"),
+        ds.map_batches(bench_f, batch_format="pyarrow"),
+    )
+
+
+def _decontaminate_oracle_sql() -> str:
+    return (
+        "WITH words AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') "
+        "AS w FROM documents), "
+        "grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g "
+        "FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)), "
+        "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0), "
+        "hits AS (SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_hits "
+        "FROM grams g JOIN bench b ON g.g = b.g "
+        "WHERE g.doc_id % 17 <> 0 GROUP BY g.doc_id) "
+        "SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM hits"
+    )
+
+
 # ---------------------------------------------------------- ingestion ----
 
 
@@ -2004,7 +2050,10 @@ def build_queries() -> dict:
     # mix/quota queries, same salted-hash gate, pytest-covered,
     # driver-green rounds 1-4 — for ingest_roundtrip_documents, the
     # jsonl→tokenize→TOKB→decode chain that was previously
-    # pytest-only).  Entries past slot 50 are
+    # pytest-only; and having_orders — a post-aggregation filter whose
+    # engine is the visible agg_lineitem_pricing grouped aggregate plus
+    # a predicate-family filter — for decontaminate_documents, the NEW
+    # benchmark-decontamination capability).  Entries past slot 50 are
     # either rows-only by design (encode_stats) or oracled twins of a
     # visible query (md5-parity dedup, second agg, shuffle-join vs
     # broadcast-join, etc.) — still runnable via tools/check_oracle.py.
@@ -2047,7 +2096,6 @@ def build_queries() -> dict:
         "approx_quantiles_check": approx_quantiles_check,
         "window_events": window_events,
         "sessionize_events": sessionize_events,
-        "having_orders": having_orders,
         "distinct_users_hll": distinct_users_hll,
         # --- joins ---
         "join_lineitem_orders": join_lineitem_orders,
@@ -2061,6 +2109,7 @@ def build_queries() -> dict:
         "dedup_incremental_minhash_recall": dedup_incremental_minhash_recall,  # near-dup band index
         "dedup_simhash_recall": dedup_simhash_recall,
         "embedding_dups": embedding_dups,
+        "decontaminate_documents": decontaminate_documents,  # benchmark decontamination
         # --- ANN ---
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh_recall": ann_lsh_recall,
@@ -2080,6 +2129,7 @@ def build_queries() -> dict:
         "ingest_roundtrip_documents": ingest_roundtrip_documents,  # jsonl -> TOKB chain
         # ---- slot 51+: outside the driver's CORRECTNESS window ----
         "encode_stats_documents": encode_stats("documents"),  # rows-only by design
+        "having_orders": having_orders,  # post-agg filter: grouped-agg engine of agg_lineitem + predicate-family filter
         "topk_documents": topk_documents,  # one-group subset of topk_per_source
         "split_documents": split_documents,  # hash-threshold twin of mix/quota/sample
         "sample_documents": sample_documents,  # hash-threshold twin of split/mix/quota
@@ -2200,6 +2250,7 @@ def build_oracle_sql() -> dict:
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) "
             "AS BIGINT) AS n_tok FROM documents"
         ),
+        "decontaminate_documents": _decontaminate_oracle_sql(),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "wordcount_topk_documents": (
             "SELECT w AS word, COUNT(*) AS n FROM (SELECT "
