@@ -200,6 +200,22 @@ def test_flag_contaminated_counts_and_misses(ray_session):
     assert got == {1: 3, 2: 1}
 
 
+def test_repetition_stats_counts():
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c a b c a b c",      # grams: 7 total, 3 distinct -> 4 dup
+                "one two three four five", # 3 grams, all distinct
+                "x y",                     # < k words: padded single gram
+            ],
+        }
+    )
+    out = dedup.repetition_stats(t)
+    assert out.column("n_grams").to_pylist() == [7, 3, 1]
+    assert out.column("n_dup").to_pylist() == [4, 0, 0]
+
+
 def test_flag_contaminated_empty_bench_and_guard(ray_session):
     import ray.data
 

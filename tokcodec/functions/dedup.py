@@ -671,6 +671,40 @@ def flag_contaminated(
     return ds.map_batches(scan, batch_format="pyarrow")
 
 
+def repetition_stats(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    shingle: str = "word",
+) -> pa.Table:
+    """Intra-document repetition (the Gopher-style duplicate-n-gram
+    quality signal, Rae et al. 2021 §A1.1): per doc, total k-shingles
+    and how many are duplicates of an earlier shingle in the SAME doc —
+    n_dup / n_grams is the repeated-fraction filter bound.  Emitted as
+    two integers (not the ratio) so the SQL oracle hashes bit-exactly.
+    Fully vectorized: one shingle pass, bincount totals, lexsort +
+    changepoint distinct counts.  Docs with fewer than k words take the
+    padded-shingle path of `_word_shingles` (one gram, zero dups)."""
+    ids = batch.column(id_col)
+    didx, sh = _shingles(batch.column(text_col).to_pylist(), k, shingle)
+    n = batch.num_rows
+    total = np.bincount(didx, minlength=n)
+    order = np.lexsort((sh, didx))
+    d_s, h_s = didx[order], sh[order]
+    first = np.ones(len(d_s), dtype=bool)
+    if len(d_s) > 1:
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    distinct = np.bincount(d_s[first], minlength=n)
+    return pa.table(
+        {
+            id_col: ids,
+            "n_grams": pa.array(total.astype(np.int64), pa.int64()),
+            "n_dup": pa.array((total - distinct).astype(np.int64), pa.int64()),
+        }
+    )
+
+
 # ----------------------------------------------------------- simhash ----
 
 

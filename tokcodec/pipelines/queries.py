@@ -1937,6 +1937,30 @@ def sidecar_quality_documents(sf_dir: str):
     return read_with_sidecars(out, ["q"], columns=["doc_id", "q_words"])
 
 
+def repetition_documents(sf_dir: str):
+    """Intra-document repetition stats (functions/dedup.py::
+    repetition_stats — the Gopher duplicate-n-gram quality filter):
+    per doc, total word 3-grams and duplicate count, integer-exact so
+    the SQL gram aggregation hashes identically.  One shuffle-free
+    vectorized map_batches; engine sibling of ngram_profile /
+    quality_documents (slot 51+: same per-doc n-gram machinery as the
+    visible ngram_profile_documents)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(dedup.repetition_stats, batch_format="pyarrow")
+
+
+def _repetition_oracle_sql() -> str:
+    return (
+        "WITH words AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') "
+        "AS w FROM documents), "
+        "grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g "
+        "FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        "CAST(COUNT(*) - COUNT(DISTINCT g) AS BIGINT) AS n_dup "
+        "FROM grams GROUP BY doc_id"
+    )
+
+
 # ------------------------------------------- benchmark decontamination ----
 
 
@@ -2146,6 +2170,7 @@ def build_queries() -> dict:
         "quantiles_lineitem_price": quantiles_lineitem_price,  # subset of quantiles_by_lang
         "dedup_ngram_recall": dedup_ngram_recall,  # char-shingle twin of dedup_minhash_recall
         "ann_ivf_recall": ann_ivf_recall,  # subset of ann_ivf_partitioned_recall
+        "repetition_documents": repetition_documents,  # Gopher dup-ngram quality signal (ngram_profile sibling)
     }
     return qs
 
@@ -2251,6 +2276,7 @@ def build_oracle_sql() -> dict:
             "AS BIGINT) AS n_tok FROM documents"
         ),
         "decontaminate_documents": _decontaminate_oracle_sql(),
+        "repetition_documents": _repetition_oracle_sql(),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "wordcount_topk_documents": (
             "SELECT w AS word, COUNT(*) AS n FROM (SELECT "
