@@ -9,6 +9,7 @@
         [--format jsonl|csv|parquet] [--text-col text] [--id-col doc_id]
     python -m tokcodec.cli compact --input ENC_DIR --out NEW_DIR
         [--target-tokens N] [--bloom-cols a,b]
+    python -m tokcodec.cli export  --input ENC_DIR --out BIN_DIR
     python -m tokcodec.cli synth   --out FILE --rows N [--seed S]
 
 This module owns a Ray session (unlike the library); on a cluster,
@@ -254,6 +255,14 @@ def cmd_audit(args) -> int:
     return 1 if bad else 0
 
 
+def cmd_export(args) -> int:
+    from tokcodec.pipelines.export import export_token_bin
+
+    _init_ray(args.num_cpus)
+    print(json.dumps(export_token_bin(args.input, args.out)))
+    return 0
+
+
 def cmd_compact(args) -> int:
     from tokcodec.pipelines.compact import compact_blocks
 
@@ -377,6 +386,14 @@ def main(argv=None) -> int:
     cp.add_argument("--bloom-cols", default=None)
     common(cp)
     cp.set_defaults(fn=cmd_compact)
+
+    ex = sub.add_parser("export")
+    ex.add_argument("--input", required=True,
+                    help="encoded TOKB dir to export")
+    ex.add_argument("--out", required=True,
+                    help="output dir for .bin token shards + .idx.parquet")
+    common(ex)
+    ex.set_defaults(fn=cmd_export)
 
     ig = sub.add_parser("ingest")
     ig.add_argument("--input", required=True)

@@ -1,0 +1,142 @@
+"""Flat token-stream export: TOKB (or any tokenized Dataset) → the
+.bin/.idx shard layout a trainer's data loader memory-maps.
+
+Each write task emits ``shard-<task>-<seq>.bin`` — the raw
+little-endian int32 token stream of its docs, concatenated — plus a
+parquet index ``shard-<task>-<seq>.idx.parquet`` of (doc_id, offset,
+n_tok), offset in TOKEN units into the shard.  The layout is
+self-describing per shard (shard membership follows executor blocks,
+the same at-least-once naming contract as TokbDatasink), every file is
+written atomically (temp + rename), and a shard is consumed with
+``np.memmap(shard, np.int32)[offset : offset + n_tok]`` — zero parsing
+in the training loop.
+
+No reference-repo counterpart: the consumption-side sibling of the
+ingest pipeline (raw corpus → TOKB → trainer shards), one of the
+training-pipeline extras the round brief asks for beyond
+parquet-extra's operator surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from ray.data import Datasink
+
+from tokcodec import manifest as mf
+
+
+class TokenBinDatasink(Datasink):
+    """Pass to ``ds.write_datasink(TokenBinDatasink(dir))``; the input
+    needs (id_col, tokens_col) where tokens is list<int32-compatible>."""
+
+    def __init__(self, out_dir: str, tokens_col: str = "tokens",
+                 id_col: str = "doc_id"):
+        self.out_dir = out_dir
+        self.tokens_col = tokens_col
+        self.id_col = id_col
+
+    def on_write_start(self):
+        os.makedirs(self.out_dir, exist_ok=True)
+
+    @property
+    def supports_distributed_writes(self) -> bool:
+        return True
+
+    @property
+    def min_rows_per_write(self):
+        return None
+
+    def get_name(self) -> str:
+        return "TokenBin"
+
+    def write(self, blocks: Iterable, ctx) -> list[dict]:
+        out = []
+        for seq, block in enumerate(blocks):
+            t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            if t.num_rows == 0:
+                continue
+            toks = t.column(self.tokens_col).combine_chunks()
+            if toks.null_count:
+                # a null token array has no defined trainer semantics —
+                # fail fast instead of silently emitting a 0-length doc
+                raise ValueError(
+                    f"{self.tokens_col} holds {toks.null_count} null row(s); "
+                    "filter or fix upstream before export"
+                )
+            flat = np.asarray(toks.values, dtype=np.int32)
+            # ListArray offsets may start past 0 after slicing
+            offs = np.asarray(toks.offsets, dtype=np.int64)
+            base = offs[0]
+            name = f"shard-{ctx.task_idx:05d}-{seq:03d}"
+            mf.atomic_write_bytes(
+                os.path.join(self.out_dir, name + ".bin"),
+                flat[base : offs[-1]].astype("<i4", copy=False).tobytes(),
+            )
+            idx = pa.table(
+                {
+                    self.id_col: t.column(self.id_col),
+                    "offset": pa.array(offs[:-1] - base, pa.int64()),
+                    "n_tok": pa.array(np.diff(offs).astype(np.int32), pa.int32()),
+                }
+            )
+            import io
+
+            buf = io.BytesIO()
+            pq.write_table(idx, buf, compression="zstd")
+            mf.atomic_write_bytes(
+                os.path.join(self.out_dir, name + ".idx.parquet"), buf.getvalue()
+            )
+            out.append(
+                {
+                    "shard": name,
+                    "docs": t.num_rows,
+                    "tokens": int(offs[-1] - base),
+                }
+            )
+        return out
+
+    def on_write_complete(self, write_result) -> None:
+        shards = [m for task in write_result.write_returns for m in task]
+        mf.atomic_write_json(
+            os.path.join(self.out_dir, "_SUCCESS"),
+            {
+                "shards": len(shards),
+                "docs": int(sum(s["docs"] for s in shards)),
+                "tokens": int(sum(s["tokens"] for s in shards)),
+            },
+        )
+
+
+def export_token_bin(tokb_dir: str, out_dir: str) -> dict:
+    """Decode a TOKB corpus and export it as trainer shards; returns the
+    _SUCCESS summary {"shards", "docs", "tokens"}."""
+    from tokcodec.pipelines.encode import decode_dataset
+
+    ds = decode_dataset(tokb_dir, columns=["doc_id", "tokens"])
+    ds.write_datasink(TokenBinDatasink(out_dir))
+    with open(os.path.join(out_dir, "_SUCCESS")) as f:
+        return json.load(f)
+
+
+def iter_token_bin(out_dir: str):
+    """Test/consumer helper: yield (doc_id, np.ndarray int32 tokens) from
+    every shard — each shard via one np.memmap, per-doc zero-copy
+    slices (the trainer-loop access pattern)."""
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".bin"):
+            continue
+        stream = np.memmap(os.path.join(out_dir, name), dtype="<i4", mode="r")
+        idx = pq.read_table(
+            os.path.join(out_dir, name[: -len(".bin")] + ".idx.parquet")
+        )
+        ids = idx.column(idx.schema.names[0]).to_pylist()
+        offs = idx.column("offset").to_numpy(zero_copy_only=False)
+        ntk = idx.column("n_tok").to_numpy(zero_copy_only=False)
+        for i, did in enumerate(ids):
+            yield did, np.asarray(stream[offs[i] : offs[i] + ntk[i]])

@@ -1961,6 +1961,39 @@ def _repetition_oracle_sql() -> str:
     )
 
 
+def export_bin_documents(sf_dir: str):
+    """Trainer-shard export chain (pipelines/export.py): tokenize →
+    TOKB → flat .bin token shards + per-shard parquet indexes; the
+    result is a DISTRIBUTED read of the index files, (doc_id, n_tok)
+    vs the tokenize SQL.  Token VALUES are pinned bit-exact by
+    tests/test_export.py; this oracle pins the index layout (offsets /
+    counts / doc coverage) end-to-end.  Slot 51+: the chain shares the
+    visible ingest/tokenize-roundtrip engines up to the export sink."""
+    import ray.data
+
+    from tokcodec.pipelines.export import export_token_bin
+    from tokcodec.sources.sink import TokbDatasink
+
+    tmp = _scratch_dir("exportbin", sf_dir)
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    ds.map_batches(text.tokenize, batch_format="pyarrow").write_datasink(
+        TokbDatasink(f"{tmp}/tokb")
+    )
+    export_token_bin(f"{tmp}/tokb", f"{tmp}/bin")
+    import glob
+
+    idx_files = sorted(glob.glob(f"{tmp}/bin/*.idx.parquet"))
+    return ray.data.read_parquet(idx_files).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------- benchmark decontamination ----
 
 
@@ -2171,6 +2204,7 @@ def build_queries() -> dict:
         "dedup_ngram_recall": dedup_ngram_recall,  # char-shingle twin of dedup_minhash_recall
         "ann_ivf_recall": ann_ivf_recall,  # subset of ann_ivf_partitioned_recall
         "repetition_documents": repetition_documents,  # Gopher dup-ngram quality signal (ngram_profile sibling)
+        "export_bin_documents": export_bin_documents,  # trainer .bin/.idx shard export chain
     }
     return qs
 
@@ -2277,6 +2311,10 @@ def build_oracle_sql() -> dict:
         ),
         "decontaminate_documents": _decontaminate_oracle_sql(),
         "repetition_documents": _repetition_oracle_sql(),
+        "export_bin_documents": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) "
+            "AS BIGINT) AS n_tok FROM documents"
+        ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "wordcount_topk_documents": (
             "SELECT w AS word, COUNT(*) AS n FROM (SELECT "
