@@ -1961,6 +1961,58 @@ def _repetition_oracle_sql() -> str:
     )
 
 
+def curate_documents(sf_dir: str):
+    """The end-to-end curation funnel a training corpus actually runs,
+    composed from the package's quality ops in ONE streaming pass plus
+    the one dedup exchange: language-ID (keep 'en') → word-count floor
+    (q_words >= 30) → intra-doc repetition ceiling (duplicate 3-grams
+    < 1%, integer form n_dup*100 < n_grams) → exact content dedup
+    (MIN id per text).  The three per-doc gates fuse into a single
+    vectorized map_batches after the LangId actor stage — a rejected
+    doc's text never leaves the first pass — and only survivors reach
+    the dedup exchange.  Oracle = the same funnel as nested SQL CTEs
+    over the shared deterministic kernels (stopword vote, word rule,
+    gram aggregation, GROUP BY text)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    tagged = ds.map_batches(
+        text.LangId, batch_format="pyarrow", concurrency=2, num_cpus=1
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("lang_pred"), "en"))
+        t = t.select(["doc_id", "text"])
+        if t.num_rows == 0:
+            return t
+        q = text.add_quality(t).column("q_words").to_numpy(zero_copy_only=False)
+        rep = dedup.repetition_stats(t)
+        n_grams = rep.column("n_grams").to_numpy(zero_copy_only=False)
+        n_dup = rep.column("n_dup").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((q >= 30) & (n_dup * 100 < n_grams)))
+
+    survivors = tagged.map_batches(gate, batch_format="pyarrow")
+    return dedup.exact_dedup(survivors).select_columns(["doc_id"])
+
+
+def _curate_oracle_sql() -> str:
+    lang = langid_documents_oracle()
+    return (
+        f"WITH lang AS ({lang}), "
+        "q AS (SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) "
+        "AS q_words FROM documents), "
+        "rep AS (WITH words AS (SELECT doc_id, "
+        "regexp_extract_all(text, '[A-Za-z0-9]+') AS w FROM documents), "
+        "grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g "
+        "FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)) "
+        "SELECT doc_id, COUNT(*) AS n_grams, "
+        "COUNT(*) - COUNT(DISTINCT g) AS n_dup FROM grams GROUP BY doc_id), "
+        "keep AS (SELECT d.doc_id, d.text FROM documents d "
+        "JOIN lang USING (doc_id) JOIN q USING (doc_id) JOIN rep USING (doc_id) "
+        "WHERE lang.lang_pred = 'en' AND q.q_words >= 30 "
+        "AND rep.n_dup * 100 < rep.n_grams) "
+        "SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY text"
+    )
+
+
 def export_bin_documents(sf_dir: str):
     """Trainer-shard export chain (pipelines/export.py): tokenize →
     TOKB → flat .bin token shards + per-shard parquet indexes; the
@@ -2205,6 +2257,7 @@ def build_queries() -> dict:
         "ann_ivf_recall": ann_ivf_recall,  # subset of ann_ivf_partitioned_recall
         "repetition_documents": repetition_documents,  # Gopher dup-ngram quality signal (ngram_profile sibling)
         "export_bin_documents": export_bin_documents,  # trainer .bin/.idx shard export chain
+        "curate_documents": curate_documents,  # composed funnel: langid+quality+repetition+dedup
     }
     return qs
 
@@ -2315,6 +2368,7 @@ def build_oracle_sql() -> dict:
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) "
             "AS BIGINT) AS n_tok FROM documents"
         ),
+        "curate_documents": _curate_oracle_sql(),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "wordcount_topk_documents": (
             "SELECT w AS word, COUNT(*) AS n FROM (SELECT "
