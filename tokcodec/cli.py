@@ -6,7 +6,11 @@
     python -m tokcodec.cli verify  --encoded ENC_DIR [--input SRC_OVERRIDE]
     python -m tokcodec.cli plan    --input DIR_OR_FILE [--target-tokens N]
     python -m tokcodec.cli ingest  --input DOCS --out DIR
-        [--format jsonl|csv|parquet] [--text-col text] [--id-col doc_id]
+        [--format jsonl|csv|parquet|files] [--text-col text] [--id-col doc_id]
+    python -m tokcodec.cli dedup   --input BATCH --index IDX_DIR --run-id ID
+        [--method exact|minhash] [--n-buckets N] [--file-blooms]
+        [--no-update] [--compact-only] [--out DIR]
+    python -m tokcodec.cli audit   --input ENC_DIR
     python -m tokcodec.cli compact --input ENC_DIR --out NEW_DIR
         [--target-tokens N] [--bloom-cols a,b]
     python -m tokcodec.cli export  --input ENC_DIR --out BIN_DIR
@@ -138,8 +142,6 @@ def cmd_verify(args) -> int:
     per partition (order-preserving within partitions, so no join/shuffle
     is needed — lineage row ranges come from the manifests).  Comparison
     is NaN-aware bit identity (tables_bit_identical), not Table.equals."""
-    import pyarrow.parquet as pq
-
     from tokcodec import manifest as mf
     from tokcodec.blocks import decode_table
 
