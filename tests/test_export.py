@@ -60,6 +60,22 @@ def test_token_bin_rejects_null_tokens(ray_session, tmp_path):
         )
 
 
+def test_token_bin_rejects_wide_token_type(ray_session, tmp_path):
+    """int64 token lists must be rejected, not silently truncated."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a"]),
+            "tokens": pa.array([[1, 2**40]], pa.list_(pa.int64())),
+        }
+    )
+    with pytest.raises(Exception, match="int32"):
+        ray.data.from_arrow(t).write_datasink(
+            TokenBinDatasink(str(tmp_path / "w"))
+        )
+
+
 def test_token_bin_sliced_offsets(tmp_path):
     """A block whose ListArray is a non-zero-offset slice must still
     export the right tokens (offsets rebase against the slice start)."""

@@ -62,6 +62,17 @@ class TokenBinDatasink(Datasink):
             if t.num_rows == 0:
                 continue
             toks = t.column(self.tokens_col).combine_chunks()
+            vt = toks.type.value_type
+            if not (
+                pa.types.is_integer(vt)
+                and (vt.bit_width < 32 or vt == pa.int32())
+            ):
+                # the shard format is int32; a silent astype from int64
+                # (or uint32 above 2^31) would corrupt token ids
+                raise ValueError(
+                    f"{self.tokens_col} holds list<{vt}>; the .bin shard "
+                    "format is int32 — cast upstream if the values fit"
+                )
             if toks.null_count:
                 # a null token array has no defined trainer semantics —
                 # fail fast instead of silently emitting a 0-length doc
