@@ -60,6 +60,44 @@ def test_token_bin_rejects_null_tokens(ray_session, tmp_path):
         )
 
 
+def test_token_bin_rejects_null_elements(ray_session, tmp_path):
+    """A null INSIDE a token list must be rejected — numpy would
+    convert it through float64 NaN to INT32_MIN and write garbage."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a"]),
+            "tokens": pa.array([[3, None]], pa.list_(pa.int32())),
+        }
+    )
+    with pytest.raises(Exception, match="null"):
+        ray.data.from_arrow(t).write_datasink(
+            TokenBinDatasink(str(tmp_path / "n"))
+        )
+
+
+def test_token_bin_all_empty_docs_iterable(tmp_path):
+    """Docs with zero tokens produce a 0-byte shard; iter_token_bin
+    must yield their (id, empty) rows instead of crashing on memmap."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(["e1", "e2"]),
+            "tokens": pa.array([[], []], pa.list_(pa.int32())),
+        }
+    )
+
+    class Ctx:
+        task_idx = 0
+
+    sink = TokenBinDatasink(str(tmp_path))
+    sink.on_write_start()
+    sink.write([t], Ctx())
+    got = dict(iter_token_bin(str(tmp_path)))
+    assert set(got) == {"e1", "e2"}
+    assert all(len(v) == 0 for v in got.values())
+
+
 def test_token_bin_rejects_wide_token_type(ray_session, tmp_path):
     """int64 token lists must be rejected, not silently truncated."""
     import ray.data

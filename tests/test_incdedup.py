@@ -12,6 +12,7 @@ from tokcodec.functions.incdedup import (
     _ensure_meta,
     compact_index,
     dedup_against_index,
+    mark_run_complete,
 )
 
 N_BUCKETS = 8  # small so several buckets actually receive rows
@@ -118,6 +119,9 @@ def test_bucket_config_pinned(ray_session, index_dir):
 def test_compact_index_folds_files(ray_session, index_dir):
     dedup_against_index(_batch(SEED), index_dir, n_buckets=N_BUCKETS, run_id="seed")
     dedup_against_index(_batch(NEW), index_dir, n_buckets=N_BUCKETS, run_id="b1")
+    # caller consumed both runs' outputs -> safe to fold
+    mark_run_complete(index_dir, "seed")
+    mark_run_complete(index_dir, "b1")
 
     def n_files():
         return sum(
@@ -191,6 +195,8 @@ def test_file_blooms_value_identical_and_skip(ray_session, tmp_path):
             seen += 1
     assert seen > 0
     # compaction preserves the bloom on the folded file
+    mark_run_complete(bloomed, "seed")
+    mark_run_complete(bloomed, "b1")
     compact_index(bloomed)
     for d in os.listdir(bloomed):
         if d.startswith("bucket="):
@@ -205,24 +211,18 @@ def test_file_blooms_value_identical_and_skip(ray_session, tmp_path):
 
 
 def test_compact_skips_crashed_pending_run(ray_session, index_dir):
-    """A crashed batch's shard files must survive compaction: folding
-    them into compact.parquet would strip the run_id scoping and the
-    retry would drop its own docs as 'already present'."""
-    import json
-
-    from tokcodec.manifest import atomic_write_json
-
+    """A not-yet-marked batch's shard files must survive compaction:
+    folding them into compact.parquet would strip the run_id scoping
+    and the retry would drop its own docs as 'already present'.  Runs
+    are unmarked until the CALLER records consumption — so 'crashed
+    before the caller persisted the output' is simply the default
+    state here."""
     dedup_against_index(_batch(SEED), index_dir, n_buckets=N_BUCKETS, run_id="seed")
+    mark_run_complete(index_dir, "seed")
     first = _ids(dedup_against_index(_batch(NEW), index_dir,
                                      n_buckets=N_BUCKETS, run_id="b1"))
-    # simulate b1 crashing after its shard writes but before the
-    # completion record: files on disk, index.json never saw it
-    mp = os.path.join(index_dir, "index.json")
-    with open(mp) as f:
-        meta = json.load(f)
-    assert "b1" in meta["completed_runs"]
-    meta["completed_runs"] = [r for r in meta["completed_runs"] if r != "b1"]
-    atomic_write_json(mp, meta)
+    # b1's driver "crashed" before its output was durably consumed:
+    # shard files exist, no completion record was written
 
     def n_run_files(run):
         return sum(
@@ -241,12 +241,20 @@ def test_compact_skips_crashed_pending_run(ray_session, index_dir):
     retry = _ids(dedup_against_index(_batch(NEW), index_dir,
                                      n_buckets=N_BUCKETS, run_id="b1"))
     assert retry == first == ["n1", "n4"]
-    # the retry completed, so the next compact folds it
+    # the retry's output is consumed and marked, so the next compact
+    # folds it
+    mark_run_complete(index_dir, "b1")
     compact_index(index_dir)
     assert n_run_files("b1") == 0
     got = _ids(dedup_against_index(_batch(SEED + NEW), index_dir,
                                    n_buckets=N_BUCKETS, run_id="b2"))
     assert got == []
+    # fold_all: the no-pending-batches / legacy escape hatch folds the
+    # unmarked b2 too
+    compact_index(index_dir, fold_all=True)
+    assert n_run_files("b2") == 0
+    assert _ids(dedup_against_index(_batch(SEED + NEW), index_dir,
+                                    n_buckets=N_BUCKETS, run_id="b3")) == []
 
 
 # ------------------------------------------------ near-dup variant ----

@@ -86,19 +86,30 @@ def test_ingest_files_one_doc_per_file(ray_session, tmp_path):
     for d in DOCS:
         (src / f"{d['doc_id']}.txt").write_text(d["text"])
     (src / "z9.txt").write_bytes(b"bad \xff byte")
+    # same BASENAME in two subdirectories: ids are root-relative paths,
+    # so these are distinct docs, not a silent doc_id collision
+    for sub, body in (("a", "alpha body"), ("b", "beta body")):
+        (src / sub).mkdir()
+        (src / sub / "dup.txt").write_text(body)
     out = str(tmp_path / "out_files")
     summary = ingest_documents(str(src), out, fmt="files")
-    assert summary["rows"] == len(DOCS) + 1
+    assert summary["rows"] == len(DOCS) + 3
     got = _read_back(out)
     want_batch = pa.table(
         {
-            "doc_id": pa.array([f"{d['doc_id']}.txt" for d in DOCS] + ["z9.txt"]),
-            "text": pa.array([d["text"] for d in DOCS] + ["bad � byte"]),
+            "doc_id": pa.array(
+                [f"{d['doc_id']}.txt" for d in DOCS]
+                + ["z9.txt", "a/dup.txt", "b/dup.txt"]
+            ),
+            "text": pa.array(
+                [d["text"] for d in DOCS]
+                + ["bad � byte", "alpha body", "beta body"]
+            ),
         }
     )
     want = tokenize(want_batch).sort_by("doc_id")
     assert got.select(want.column_names).equals(want)
-    assert got.column("source").to_pylist() == ["unknown"] * (len(DOCS) + 1)
+    assert got.column("source").to_pylist() == ["unknown"] * (len(DOCS) + 3)
 
 
 def test_ingest_missing_text_col_fails_fast(ray_session, tmp_path):

@@ -288,12 +288,13 @@ def cmd_dedup(args) -> int:
     from tokcodec.functions.incdedup import (
         compact_index,
         dedup_against_index,
+        mark_run_complete,
         near_dup_against_index,
     )
 
     _init_ray(args.num_cpus)
     if args.compact_only:
-        print(json.dumps(compact_index(args.index)))
+        print(json.dumps(compact_index(args.index, fold_all=args.fold_all)))
         return 0
     if not args.input or not args.run_id:
         raise SystemExit("dedup requires --input and --run-id (or --compact-only)")
@@ -315,10 +316,17 @@ def cmd_dedup(args) -> int:
         acc = acc.materialize()  # one execution for both write and count
     if args.out:
         acc.write_parquet(args.out)
+    n_acc = acc.count()
+    if not args.no_update:
+        # output is durably consumed (written and/or counted): the run
+        # will never need a same-run_id retry, so it is now safe for
+        # compact_index to fold — a crash BEFORE this line leaves the
+        # run unmarked and the retry contract intact
+        mark_run_complete(args.index, args.run_id)
     print(
         json.dumps(
             {
-                "accepted": acc.count(),
+                "accepted": n_acc,
                 "index": args.index,
                 "run_id": args.run_id,
                 "out": args.out,
@@ -430,6 +438,10 @@ def main(argv=None) -> int:
                     help="query-only: don't add accepted hashes to the index")
     dd.add_argument("--compact-only", action="store_true",
                     help="fold per-run shard files instead of deduping")
+    dd.add_argument("--fold-all", action="store_true",
+                    help="with --compact-only: fold every file, ignoring "
+                         "completion records (only when no batch is "
+                         "pending retry; also the pre-record migration)")
     dd.add_argument("--file-blooms", action="store_true",
                     help="write bloom sidecars next to shard files and probe "
                          "them to skip no-overlap files (pays off for "

@@ -37,9 +37,12 @@ cluster a node-local path would silently fragment the index per node.  Sizing: a
 ``n_buckets`` such that accepted_docs × 16 B / n_buckets fits a worker
 heap (10^12 docs at 64 Ki buckets → ~244 MB/shard).  ``compact_index``
 folds each bucket's KNOWN-COMPLETE run files into one (distinct) file,
-bounding per-run file growth; runs not recorded complete (a crashed
-batch pending retry) are left untouched so the retry's own-run
-exclusion keeps working.
+bounding per-run file growth; a run becomes foldable only when the
+CALLER records it via ``mark_run_complete`` after durably consuming
+its accepted output — unmarked runs (crashed, or output not yet
+persisted) keep their shard files so a same-run_id retry's own-run
+exclusion keeps working (``fold_all=True`` is the
+nothing-pending/legacy escape hatch).
 
 No reference-repo counterpart: one of the training-pipeline extras the
 round brief asks for beyond parquet-extra's operator surface; the
@@ -115,16 +118,19 @@ def _ensure_meta(
     return n_buckets
 
 
-def _mark_run_complete(index_dir: str, run_id: str) -> None:
-    """Record ``run_id`` as known-complete in index.json — called only
-    AFTER the run's shard writes have all executed (the materialize()
-    barrier).  compact_index folds ONLY completed runs: a crashed batch
-    leaves its run_id unrecorded, so its partial shard files survive
-    compaction and the retry's own-run exclusion still sees them —
-    without this, compact could fold a crashed run's partial hashes
-    into compact.parquet and the retry would drop those docs as
-    'already present'.  Driver-side, single-writer-per-index contract
-    (same as the shard writes themselves)."""
+def mark_run_complete(index_dir: str, run_id: str) -> None:
+    """Record ``run_id`` as complete in index.json.  THE CALLER invokes
+    this after the run's accepted output has been durably consumed
+    (written out, counted, success recorded) — i.e. at the point where
+    a retry of ``run_id`` will never be needed.  Only then may
+    `compact_index` fold the run's shard files: folding strips the
+    run_id from its hashes, so a retry after folding would anti-join
+    against its own earlier hashes and wrongly drop its docs as
+    'already present'.  The dedup functions deliberately do NOT mark
+    their own runs — their materialize() barrier proves the shard
+    writes executed, not that the caller kept the verdicts.
+    Driver-side, single-writer-per-index contract (same as the shard
+    writes themselves)."""
     import json
 
     p = _meta_path(index_dir)
@@ -314,22 +320,27 @@ def dedup_against_index(
         # (id, h1, h2) projection of the batch — they fit the object
         # store and spill if not (the corpus text never materializes).
         out = out.materialize()
-        _mark_run_complete(index_dir, run_id)
     return out
 
 
-def compact_index(index_dir: str) -> dict:
+def compact_index(index_dir: str, fold_all: bool = False) -> dict:
     """Fold every bucket's KNOWN-COMPLETE run files into one
     distinct-hash file (named ``compact.parquet``) and remove the
     folded per-run files — bounds file count growth across runs.  Only
-    runs recorded complete by `_mark_run_complete` are folded: a
-    crashed batch's partial shards stay as-is, so its retry (which
-    excludes files named by its own run_id) still re-adjudicates
-    correctly — folding them into compact.parquet would strip the
-    run_id from those hashes and the retry would wrongly drop its own
-    docs as 'already present'.  One Ray task per bucket; safe to run
-    any time between dedup runs, including while a crashed batch is
-    pending retry.  Returns {"buckets", "hashes"}."""
+    runs the caller recorded via `mark_run_complete` are folded: an
+    unmarked run (crashed, or completed but its output not yet durably
+    consumed) keeps its shard files, so a retry — which excludes files
+    named by its own run_id — still re-adjudicates correctly; folding
+    them would strip the run_id from those hashes and the retry would
+    wrongly drop its own docs as 'already present'.  One Ray task per
+    bucket; safe to run any time between dedup runs, including while a
+    batch is pending retry.
+
+    ``fold_all=True`` folds EVERY file regardless of completion records
+    — the escape hatch for (a) indexes created before completion
+    records existed and (b) operators who know no batch is pending
+    retry (the 'run it between batches' contract).  Returns
+    {"buckets", "hashes"}."""
     import json
 
     import ray.data
@@ -349,7 +360,8 @@ def compact_index(index_dir: str) -> dict:
             files = [
                 f
                 for f in _shard_files(sd)
-                if os.path.basename(f)[: -len(".parquet")] in done
+                if fold_all
+                or os.path.basename(f)[: -len(".parquet")] in done
                 or os.path.basename(f) == "compact.parquet"
             ]
             if not files:
@@ -556,7 +568,6 @@ def near_dup_against_index(
         # dedup_against_index); the mark table is 1 + flagged-bands
         # rows per doc, far narrower than the corpus
         marks = marks.materialize()
-        _mark_run_complete(index_dir, run_id)
     verdict = sorted_group_reduce(marks, [id_col], [("flag", "max", "flag")])
     return verdict.map_batches(
         lambda t: t.filter(pc.equal(t.column("flag"), 0)).select([id_col]),

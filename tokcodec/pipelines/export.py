@@ -73,11 +73,16 @@ class TokenBinDatasink(Datasink):
                     f"{self.tokens_col} holds list<{vt}>; the .bin shard "
                     "format is int32 — cast upstream if the values fit"
                 )
-            if toks.null_count:
-                # a null token array has no defined trainer semantics —
-                # fail fast instead of silently emitting a 0-length doc
+            if toks.null_count or toks.values.null_count:
+                # a null token array OR a null element inside one has no
+                # defined trainer semantics — fail fast instead of
+                # silently emitting a 0-length doc (list-level) or an
+                # INT32_MIN garbage token (element-level: numpy converts
+                # the null through float64 NaN)
                 raise ValueError(
-                    f"{self.tokens_col} holds {toks.null_count} null row(s); "
+                    f"{self.tokens_col} holds "
+                    f"{toks.null_count} null row(s) and "
+                    f"{toks.values.null_count} null element(s); "
                     "filter or fix upstream before export"
                 )
             flat = np.asarray(toks.values, dtype=np.int32)
@@ -142,7 +147,13 @@ def iter_token_bin(out_dir: str):
     for name in sorted(os.listdir(out_dir)):
         if not name.endswith(".bin"):
             continue
-        stream = np.memmap(os.path.join(out_dir, name), dtype="<i4", mode="r")
+        path = os.path.join(out_dir, name)
+        if os.path.getsize(path) == 0:
+            # a shard whose docs all have zero tokens: np.memmap refuses
+            # an empty file, but the idx rows are still real docs
+            stream = np.empty(0, dtype="<i4")
+        else:
+            stream = np.memmap(path, dtype="<i4", mode="r")
         idx = pq.read_table(
             os.path.join(out_dir, name[: -len(".bin")] + ".idx.parquet")
         )

@@ -39,15 +39,24 @@ def _read_doc_files(input_paths):
     """fmt="files": one document per FILE (the rawest corpus layout —
     a directory of .txt shards).  `read_binary_files(include_paths=True)`
     gives block-parallel reads with per-row provenance; doc_id is the
-    file's basename (unique within a corpus directory by construction),
-    text is utf-8 with errors="replace" (a corrupt byte must not kill a
-    100 TB run — per-ROW Python here is per-FILE, the same cost shape
-    as the multimodal payload stages)."""
+    file's path RELATIVE to the common root of ``input_paths`` —
+    unique by construction (two files can't share a relative path) and
+    stable across corpus relocation, unlike a bare basename (which
+    silently collides across subdirectories or multiple input dirs —
+    doc_id is the dedup/lineage key downstream) or an absolute path
+    (which changes with the mount point).  Text is utf-8 with
+    errors="replace" (a corrupt byte must not kill a 100 TB run —
+    per-ROW Python here is per-FILE, the same cost shape as the
+    multimodal payload stages)."""
     import os
 
     import pyarrow as pa
     import ray.data
 
+    paths_list = [input_paths] if isinstance(input_paths, str) else list(input_paths)
+    root = os.path.commonpath([os.path.abspath(p) for p in paths_list])
+    if os.path.isfile(root):
+        root = os.path.dirname(root)
     ds = ray.data.read_binary_files(input_paths, include_paths=True)
 
     def to_docs(batch: pa.Table) -> pa.Table:
@@ -56,7 +65,8 @@ def _read_doc_files(input_paths):
         return pa.table(
             {
                 "doc_id": pa.array(
-                    [os.path.basename(p) for p in paths], pa.string()
+                    [os.path.relpath(os.path.abspath(p), root) for p in paths],
+                    pa.string(),
                 ),
                 "text": pa.array(
                     [b.decode("utf-8", errors="replace") for b in payloads],
@@ -87,9 +97,10 @@ def ingest_documents(
     Documents missing `source_col` get source="unknown"; `id_col` must
     exist (ids are the dedup/lineage key downstream — refuse to invent
     them silently).  Exception: `fmt="files"` reads one document per
-    FILE and derives doc_id from the file's basename (explicit,
-    deterministic provenance — not an invented id), text from its
-    utf-8 bytes; `text_col`/`id_col` overrides don't apply there.
+    FILE and derives doc_id from the file's path relative to the
+    common input root (explicit, deterministic, collision-free
+    provenance — not an invented id), text from its utf-8 bytes;
+    `text_col`/`id_col` overrides don't apply there.
     """
     from tokcodec.functions.text import tokenize
     from tokcodec.sources.sink import TokbDatasink

@@ -98,6 +98,7 @@ def main() -> None:
     from tokcodec.functions.incdedup import (
         compact_index,
         dedup_against_index,
+        mark_run_complete,
         near_dup_against_index,
     )
 
@@ -129,6 +130,8 @@ def main() -> None:
                                run_id="b2", n_buckets=256)
     out["exact"]["known_rerun_s"] = round(time.time() - t0, 2)
     out["exact"]["accepted_rerun"] = acc3.count()
+    for r in ("seed", "b1", "b2"):  # outputs consumed above -> foldable
+        mark_run_complete(idx, r)
     t0 = time.time()
     comp = compact_index(idx)
     out["exact"]["compact_s"] = round(time.time() - t0, 2)
