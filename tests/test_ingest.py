@@ -77,10 +77,10 @@ def test_ingest_formats_token_identical(ray_session, tmp_path, fmt):
 
 
 def test_ingest_files_one_doc_per_file(ray_session, tmp_path):
-    """fmt="files": one document per file, doc_id = basename, source =
-    "unknown" (no source column exists), token-identical to tokenizing
-    the same texts directly; a non-utf8 byte degrades to U+FFFD
-    instead of killing the run."""
+    """fmt="files": one document per file, doc_id = path relative to
+    the input root, source = "unknown" (no source column exists),
+    token-identical to tokenizing the same texts directly; a non-utf8
+    byte degrades to U+FFFD instead of killing the run."""
     src = tmp_path / "corpus"
     src.mkdir()
     for d in DOCS:

@@ -312,9 +312,12 @@ def cmd_dedup(args) -> int:
         update_index=not args.no_update,
         file_blooms=args.file_blooms,
     )
-    if args.no_update and args.out:
-        acc = acc.materialize()  # one execution for both write and count
     if args.out:
+        # one execution for both write and count: without --no-update the
+        # exact method returns a materialized dataset already, but the
+        # minhash verdict pipeline is still lazy past its mark stage —
+        # unmaterialized it would run the group-reduce shuffle twice
+        acc = acc.materialize()
         acc.write_parquet(args.out)
     n_acc = acc.count()
     if not args.no_update:
@@ -410,7 +413,9 @@ def main(argv=None) -> int:
     ig.add_argument("--out", required=True)
     ig.add_argument("--format", choices=["jsonl", "csv", "parquet", "files"],
                     default="jsonl",
-                    help="files = one document per file (doc_id = basename)")
+                    help="files = one document per file (doc_id = path "
+                         "relative to the input root; verbatim for remote "
+                         "URIs)")
     ig.add_argument("--text-col", default="text")
     ig.add_argument("--id-col", default="doc_id")
     ig.add_argument("--source-col", default="source")

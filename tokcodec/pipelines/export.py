@@ -43,6 +43,20 @@ class TokenBinDatasink(Datasink):
 
     def on_write_start(self):
         os.makedirs(self.out_dir, exist_ok=True)
+        stale = [f for f in os.listdir(self.out_dir) if f.endswith(".bin")]
+        if stale:
+            # shard names key on executor task ids (stable only per
+            # execution): a re-export over a used dir would leave the
+            # earlier run's extra shards in place and any *.bin consumer
+            # would read deleted/duplicate docs with no error — same
+            # guard as the ingest pipeline's TOKB dir
+            raise ValueError(
+                f"{self.out_dir} already holds {len(stale)} shard(s) "
+                f"(e.g. {stale[0]}); export into a fresh directory"
+            )
+        success = os.path.join(self.out_dir, "_SUCCESS")
+        if os.path.exists(success):
+            os.remove(success)  # never report a prior run's success
 
     @property
     def supports_distributed_writes(self) -> bool:
@@ -127,6 +141,10 @@ class TokenBinDatasink(Datasink):
                 "tokens": int(sum(s["tokens"] for s in shards)),
             },
         )
+
+    def on_write_failed(self, error: Exception) -> None:
+        with open(os.path.join(self.out_dir, "_FAILED"), "w") as f:
+            f.write(str(error))
 
 
 def export_token_bin(tokb_dir: str, out_dir: str) -> dict:

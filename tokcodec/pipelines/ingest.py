@@ -44,7 +44,9 @@ def _read_doc_files(input_paths):
     stable across corpus relocation, unlike a bare basename (which
     silently collides across subdirectories or multiple input dirs —
     doc_id is the dedup/lineage key downstream) or an absolute path
-    (which changes with the mount point).  Text is utf-8 with
+    (which changes with the mount point).  For remote URIs
+    (``s3://...``) the reader-reported path is used verbatim (os.path
+    relpath would mangle the scheme).  Text is utf-8 with
     errors="replace" (a corrupt byte must not kill a 100 TB run —
     per-ROW Python here is per-FILE, the same cost shape as the
     multimodal payload stages)."""
@@ -54,20 +56,27 @@ def _read_doc_files(input_paths):
     import ray.data
 
     paths_list = [input_paths] if isinstance(input_paths, str) else list(input_paths)
-    root = os.path.commonpath([os.path.abspath(p) for p in paths_list])
-    if os.path.isfile(root):
-        root = os.path.dirname(root)
+    if any("://" in str(p) for p in paths_list):
+        # remote storage (s3://, gs://, ...): os.path abspath/relpath
+        # would mangle the scheme, so use the reader-reported path
+        # verbatim — unique and stable within the bucket
+        root = None
+    else:
+        root = os.path.commonpath([os.path.abspath(p) for p in paths_list])
+        if os.path.isfile(root):
+            root = os.path.dirname(root)
     ds = ray.data.read_binary_files(input_paths, include_paths=True)
 
     def to_docs(batch: pa.Table) -> pa.Table:
         paths = batch.column("path").to_pylist()
         payloads = batch.column("bytes").to_pylist()
+        if root is None:
+            ids = [str(p) for p in paths]
+        else:
+            ids = [os.path.relpath(os.path.abspath(p), root) for p in paths]
         return pa.table(
             {
-                "doc_id": pa.array(
-                    [os.path.relpath(os.path.abspath(p), root) for p in paths],
-                    pa.string(),
-                ),
+                "doc_id": pa.array(ids, pa.string()),
                 "text": pa.array(
                     [b.decode("utf-8", errors="replace") for b in payloads],
                     pa.string(),

@@ -1941,12 +1941,21 @@ def repetition_documents(sf_dir: str):
     """Intra-document repetition stats (functions/dedup.py::
     repetition_stats — the Gopher duplicate-n-gram quality filter):
     per doc, total word 3-grams and duplicate count, integer-exact so
-    the SQL gram aggregation hashes identically.  One shuffle-free
-    vectorized map_batches; engine sibling of ngram_profile /
-    quality_documents (slot 51+: same per-doc n-gram machinery as the
-    visible ngram_profile_documents)."""
+    the SQL gram aggregation hashes identically.  Docs with fewer than
+    3 words are gated out on BOTH sides: the oracle's
+    generate_series(1, len(w)-2) yields no grams for them, while the
+    operator's padded-shingle semantics would emit (1, 0) — without
+    the gate the row counts diverge on any corpus holding short docs.
+    One shuffle-free vectorized map_batches; engine sibling of
+    ngram_profile / quality_documents (slot 51+: same per-doc n-gram
+    machinery as the visible ngram_profile_documents)."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(dedup.repetition_stats, batch_format="pyarrow")
+
+    def stats(t: pa.Table) -> pa.Table:
+        q = text.add_quality(t).column("q_words").to_numpy(zero_copy_only=False)
+        return dedup.repetition_stats(t.filter(pa.array(q >= 3)))
+
+    return ds.map_batches(stats, batch_format="pyarrow")
 
 
 def _repetition_oracle_sql() -> str:
