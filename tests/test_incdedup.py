@@ -134,6 +134,18 @@ def test_compact_index_folds_files(ray_session, index_dir):
     res = compact_index(index_dir)
     assert res["hashes"] == 5  # 5 distinct texts accepted overall
     assert n_files() < before
+    # nothing new to fold: the no-op path reports the same count from
+    # footers without rewriting compact.parquet
+    mtimes = {
+        d: os.path.getmtime(os.path.join(index_dir, d, "compact.parquet"))
+        for d in os.listdir(index_dir)
+        if d.startswith("bucket=")
+        and os.path.exists(os.path.join(index_dir, d, "compact.parquet"))
+    }
+    res2 = compact_index(index_dir)
+    assert res2["hashes"] == 5
+    for d, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(index_dir, d, "compact.parquet")) == m
     # every remaining file is the folded one
     for d in os.listdir(index_dir):
         if d.startswith("bucket="):

@@ -159,6 +159,18 @@ def _bloom_path(parquet_path: str) -> str:
     return parquet_path[: -len(".parquet")] + ".bloom"
 
 
+# per-worker-process cache of parsed bloom sidecars keyed by
+# (path, mtime_ns, size): sidecars are immutable once atomically
+# renamed (a same-run_id retry overwrite changes the mtime), and the
+# cached dict also retains its decoded "_bits" after the first probe —
+# repeat probes of the same shard across batches skip both the json
+# load and the base64 decode.  Bounded: each entry is ~bloom bytes;
+# evicted wholesale past the cap (simple and rare — caps only matter
+# for very wide n_buckets).
+_BLOOM_CACHE: dict = {}
+_BLOOM_CACHE_MAX = 8192
+
+
 def _file_bloom(path: str) -> dict | None:
     """Read a shard file's bloom SIDECAR (None when absent).  The bloom
     lives next to the parquet file, not in its footer metadata: an
@@ -168,10 +180,19 @@ def _file_bloom(path: str) -> dict | None:
     import json
 
     p = _bloom_path(path)
-    if not os.path.exists(p):
+    try:
+        st = os.stat(p)
+    except FileNotFoundError:
         return None
-    with open(p) as f:
-        return json.load(f)
+    key = (p, st.st_mtime_ns, st.st_size)
+    bl = _BLOOM_CACHE.get(key)
+    if bl is None:
+        with open(p) as f:
+            bl = json.load(f)
+        if len(_BLOOM_CACHE) >= _BLOOM_CACHE_MAX:
+            _BLOOM_CACHE.clear()
+        _BLOOM_CACHE[key] = bl
+    return bl
 
 
 # Above this many candidates the probe is pure overhead: with the
@@ -265,7 +286,8 @@ def dedup_against_index(
     opened.  Pays off in the trickle regime (small batch vs a
     many-run index: few candidates per bucket → high skip odds); a
     no-op on files written without blooms.  Measured numbers in
-    SCALE.md (tools/bench_incdedup.py --blooms)."""
+    SCALE.md (the trickle section of tools/bench_incdedup.py, which
+    runs blooms-on vs blooms-off legs automatically)."""
     if not _RUN_ID_RE.match(run_id) or run_id == "compact":
         raise ValueError(
             f"run_id must match {_RUN_ID_RE.pattern} and not be the "
@@ -366,6 +388,12 @@ def compact_index(index_dir: str, fold_all: bool = False) -> dict:
             ]
             if not files:
                 out.append(0)
+                continue
+            if len(files) == 1 and os.path.basename(files[0]) == "compact.parquet":
+                # nothing new to fold: rewriting the (largest) file for
+                # zero state change would make a no-op compact read and
+                # rewrite the whole index
+                out.append(pq.read_metadata(files[0]).num_rows)
                 continue
             merged = pa.concat_tables(
                 pq.read_table(f, columns=["h1", "h2"]) for f in files

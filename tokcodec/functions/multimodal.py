@@ -82,7 +82,10 @@ class MediaFeatureExtractor:
     fake otherwise; True demands the codec (fail fast at __init__, not
     per batch); False pins the fake — the ORACLE-PARITY mode the driver
     queries use, since their payloads are synthetic bytes and the
-    oracle SQL reproduces the md5 fake exactly."""
+    oracle SQL reproduces the md5 fake exactly.  Auto mode trades
+    environment-independence for real decoding: pin real=False whenever
+    payloads may not be decodable images or when outputs must be
+    reproducible across environments with and without PIL."""
 
     def __init__(self, dim: int = 16, real: bool | None = None):
         self.dim = dim

@@ -87,7 +87,15 @@ class TokenBinDatasink(Datasink):
                     f"{self.tokens_col} holds list<{vt}>; the .bin shard "
                     "format is int32 — cast upstream if the values fit"
                 )
-            if toks.null_count or toks.values.null_count:
+            # ListArray offsets may start past 0 after slicing
+            offs = np.asarray(toks.offsets, dtype=np.int64)
+            base = offs[0]
+            # element nulls are counted INSIDE this block's value window
+            # only — a sliced ListArray's child buffer can carry nulls
+            # belonging to rows sliced away, which must not reject a
+            # clean block
+            elem_nulls = toks.values.slice(base, offs[-1] - base).null_count
+            if toks.null_count or elem_nulls:
                 # a null token array OR a null element inside one has no
                 # defined trainer semantics — fail fast instead of
                 # silently emitting a 0-length doc (list-level) or an
@@ -96,13 +104,10 @@ class TokenBinDatasink(Datasink):
                 raise ValueError(
                     f"{self.tokens_col} holds "
                     f"{toks.null_count} null row(s) and "
-                    f"{toks.values.null_count} null element(s); "
+                    f"{elem_nulls} null element(s); "
                     "filter or fix upstream before export"
                 )
             flat = np.asarray(toks.values, dtype=np.int32)
-            # ListArray offsets may start past 0 after slicing
-            offs = np.asarray(toks.offsets, dtype=np.int64)
-            base = offs[0]
             name = f"shard-{ctx.task_idx:05d}-{seq:03d}"
             mf.atomic_write_bytes(
                 os.path.join(self.out_dir, name + ".bin"),

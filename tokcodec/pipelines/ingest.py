@@ -56,7 +56,16 @@ def _read_doc_files(input_paths):
     import ray.data
 
     paths_list = [input_paths] if isinstance(input_paths, str) else list(input_paths)
-    if any("://" in str(p) for p in paths_list):
+    remote = ["://" in str(p) for p in paths_list]
+    if any(remote) and not all(remote):
+        # silently falling back to verbatim ids would give the LOCAL
+        # files mount-point-dependent absolute ids — the instability
+        # the relative scheme exists to avoid
+        raise ValueError(
+            "fmt='files' cannot mix local and remote input paths in one "
+            "call (doc_id derivation differs); ingest them separately"
+        )
+    if any(remote):
         # remote storage (s3://, gs://, ...): os.path abspath/relpath
         # would mangle the scheme, so use the reader-reported path
         # verbatim — unique and stable within the bucket
