@@ -10,7 +10,7 @@
     python -m tokcodec.cli dedup   --input BATCH --index IDX_DIR --run-id ID
         [--method exact|minhash] [--n-buckets N] [--file-blooms]
         [--no-update] [--compact-only] [--out DIR]
-    python -m tokcodec.cli audit   --input ENC_DIR
+    python -m tokcodec.cli audit   --encoded ENC_DIR
     python -m tokcodec.cli compact --input ENC_DIR --out NEW_DIR
         [--target-tokens N] [--bloom-cols a,b]
     python -m tokcodec.cli export  --input ENC_DIR --out BIN_DIR
