@@ -71,6 +71,18 @@ def test_empty_table_roundtrip():
     assert back.num_rows == 0 and back.schema == t.schema
 
 
+def test_decode_empty_projection_preserves_row_count():
+    """columns=[] is a count-only read: it must report the block's real
+    row count (parquet semantics), not a silent 0-row table."""
+    import pyarrow as pa
+
+    from tokcodec.blocks import decode_table, encode_table
+
+    blob = encode_table(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}))
+    t, _ = decode_table(blob, columns=[])
+    assert t.num_rows == 3 and t.num_columns == 0
+
+
 def test_size_beats_parquet_zstd():
     """BASELINE.json size criterion: encoded bytes <= reference Parquet
     (zstd) bytes on the same table."""

@@ -116,6 +116,38 @@ def test_resume_detects_truncated_block(encoded, tmp_path):
     assert redone == [0]
 
 
+def test_resume_tolerates_manifest_without_metrics(encoded, tmp_path):
+    """A complete manifest from an older/foreign layout missing the
+    'metrics' dict must RESUME (with None metric values), not KeyError
+    the run — the plan fingerprint covers config, not code version."""
+    import json
+
+    src, out, _ = encoded
+    out2 = str(tmp_path / "enc_nm")
+    shutil.copytree(out, out2)
+    mp = os.path.join(out2, "part-00000.manifest.json")
+    with open(mp) as f:
+        man = json.load(f)
+    del man["metrics"]
+    with open(mp, "w") as f:
+        json.dump(man, f)
+    res = encode_dataset(src, out2, target_tokens=TARGET)
+    m0 = next(m for m in res["metrics"] if m["pid"] == 0)
+    assert m0["resumed"] and m0["rows"] is None  # metrics unknown, run alive
+    assert all(m["resumed"] for m in res["metrics"])
+
+
+def test_encode_dataset_tuple_concurrency_on_tasks(fixture_parquet, tmp_path,
+                                                   ray_session):
+    """The documented (min, max) concurrency must not crash the default
+    compute="tasks" path — Ray rejects tuples for plain functions, so
+    the upper bound is used as the task cap."""
+    out = str(tmp_path / "enc_tc")
+    res = encode_dataset(fixture_parquet, out, target_tokens=TARGET,
+                         concurrency=(1, 2))
+    assert res["metrics"] and not any(m["resumed"] for m in res["metrics"])
+
+
 def test_resume_output_byte_identical(encoded, tmp_path):
     """Kill-and-resume must reproduce the identical bytes (deterministic
     plan + deterministic codecs, SURVEY.md §7 'Determinism for resume')."""

@@ -583,15 +583,20 @@ def decode_file(
     residually — exact WHERE semantics either way.  Predicate columns
     outside `columns` are decoded for the filter, then dropped, so the
     projection contract holds whether or not a block was pruned."""
-    header = read_header_file(path)
-    if predicate is not None and not predicate.stats_may_match(header_stats(header)):
-        schema = header_schema(header)
-        if columns is not None:
-            missing = {c.split(".")[0] for c in columns} - set(schema.names)
-            if missing:
-                raise ValueError(f"Invalid fields: {sorted(missing)}")
-            schema = project_schema(schema, list(columns))
-        return schema.empty_table(), header["meta"]
+    if predicate is not None:
+        # the header pre-read exists ONLY for zone-map skipping; without
+        # a predicate it would be a wasted open+parse per block (the
+        # common decode_dataset path), since decode_table re-reads the
+        # header from the blob anyway
+        header = read_header_file(path)
+        if not predicate.stats_may_match(header_stats(header)):
+            schema = header_schema(header)
+            if columns is not None:
+                missing = {c.split(".")[0] for c in columns} - set(schema.names)
+                if missing:
+                    raise ValueError(f"Invalid fields: {sorted(missing)}")
+                schema = project_schema(schema, list(columns))
+            return schema.empty_table(), header["meta"]
     decode_cols = columns
     if predicate is not None and columns is not None:
         # widen by the predicate's TOP-LEVEL columns (full decode — the
@@ -705,4 +710,12 @@ def decode_table(blob: bytes, columns: list[str] | None = None) -> tuple[pa.Tabl
         enc, out_t = _prune_flat_node(colspec["enc"], f.type, prune)
         arrays.append(decode_array(_unflatten(enc, get_seg), out_t))
         fields.append(pa.field(f.name, out_t, f.nullable))
+    if not arrays:
+        # columns=[] (count-only read): preserve the block's row count
+        # like parquet's columns=[] does — from_arrays([]) would
+        # silently report 0 rows
+        return (
+            pa.table({"_": pa.nulls(int(header["n_rows"]))}).drop_columns(["_"]),
+            header["meta"],
+        )
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields)), header["meta"]

@@ -88,21 +88,37 @@ def load_manifest(out_dir: str, pid: int) -> dict | None:
         return None
 
 
-def is_complete(out_dir: str, pid: int, fp: str, verify_checksum: bool = False) -> bool:
+def load_if_complete(
+    out_dir: str, pid: int, fp: str, verify_checksum: bool = False
+) -> dict | None:
+    """Single-read resume check: return the manifest when the partition
+    is verifiably complete under ``fp``, else None.  Callers that need
+    the manifest use this instead of is_complete + load_manifest (one
+    open+parse, not two — the resume hot path is 100k+ partitions of
+    small-file round trips).  Manifests missing expected keys (older /
+    foreign layouts) count as not-complete — re-encode, never KeyError
+    the run."""
     man = load_manifest(out_dir, pid)
     if man is None or man.get("fingerprint") != fp:
-        return False
-    bp = os.path.join(out_dir, man["block"])
+        return None
+    block, size = man.get("block"), man.get("block_bytes")
+    if block is None or size is None:
+        return None
+    bp = os.path.join(out_dir, block)
     try:
-        if os.path.getsize(bp) != man["block_bytes"]:
-            return False
+        if os.path.getsize(bp) != size:
+            return None
     except OSError:
-        return False
+        return None
     if verify_checksum:
         with open(bp, "rb") as f:
-            if hashlib.sha256(f.read()).hexdigest() != man["checksum"]:
-                return False
-    return True
+            if hashlib.sha256(f.read()).hexdigest() != man.get("checksum"):
+                return None
+    return man
+
+
+def is_complete(out_dir: str, pid: int, fp: str, verify_checksum: bool = False) -> bool:
+    return load_if_complete(out_dir, pid, fp, verify_checksum) is not None
 
 
 def list_manifests(out_dir: str) -> list[dict]:

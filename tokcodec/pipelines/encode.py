@@ -89,14 +89,18 @@ def _snap_tolerance(snap_frac: float, target_tokens: int, total: int, n_rgs: int
 # ------------------------------------------------------------- planning ----
 
 
-def _ntok_chunk(path: str, rg_lo: int, rg_hi: int, token_col: str) -> np.ndarray:
+def _ntok_chunk(
+    path: str, rg_lo: int, rg_hi: int, token_col: str, pf=None
+) -> np.ndarray:
     """Token-mass array for row groups [rg_lo, rg_hi) of one file — the
     unit of the parallel 'stats pass' (reads ONE small column).  Null
     token counts contribute ZERO mass (the row still encodes; it just
     doesn't steer balancing) — without the fill, Arrow's null→NaN→int64
     cast lands on int64-min and one bad row poisons the cumulative-mass
-    cuts for its whole file."""
-    f = pq.ParquetFile(path)
+    cuts for its whole file.  ``pf``: pass an already-open ParquetFile
+    to reuse its parsed footer (footer deserialization dominates
+    per-task metadata cost on files with thousands of row groups)."""
+    f = pf if pf is not None else pq.ParquetFile(path)
     t = f.read_row_groups(list(range(rg_lo, rg_hi)), columns=[token_col], use_threads=False)
     if t.column(0).null_count:
         t = t.set_column(0, t.schema.field(0), pa.compute.fill_null(t.column(0), 0))
@@ -162,11 +166,12 @@ def _chunk_cut_rows(
     which of two mass-identical boundary rows hosts the cut.  Fixing it
     would need cross-chunk boundary-mass exchange for a case that
     requires n_tok == 0 rows exactly at a tied row-group edge."""
-    mass = _ntok_chunk(path, rg_lo, rg_hi, token_col)
+    pf = pq.ParquetFile(path)  # one footer parse per task, shared below
+    mass = _ntok_chunk(path, rg_lo, rg_hi, token_col, pf=pf)
     cum = np.cumsum(mass)
     rg_bounds = np.empty(0, dtype=np.int64)
     if snap_tol > 0:
-        md = pq.ParquetFile(path).metadata
+        md = pf.metadata
         rg_rows = [md.row_group(i).num_rows for i in range(rg_lo, rg_hi)]
         rg_bounds = np.concatenate(([0], np.cumsum(rg_rows, dtype=np.int64)))
     out = []
@@ -183,7 +188,6 @@ def _file_token_plan(
     path: str,
     target_tokens: int,
     token_col: str | None,
-    mass: np.ndarray | None = None,
     snap_frac: float = DEFAULT_SNAP_FRAC,
 ) -> list[dict]:
     """Split one parquet file into row ranges of ~target token mass.
@@ -198,12 +202,11 @@ def _file_token_plan(
     n_rows = f.metadata.num_rows
     if n_rows == 0:
         return []
-    if mass is None:
-        if token_col is not None and token_col in f.schema_arrow.names:
-            mass = _ntok_chunk(path, 0, f.metadata.num_row_groups, token_col)
-        else:
-            mass = np.ones(n_rows, dtype=np.int64)
-            target_tokens = max(1, min(target_tokens, 1_000_000))
+    if token_col is not None and token_col in f.schema_arrow.names:
+        mass = _ntok_chunk(path, 0, f.metadata.num_row_groups, token_col, pf=f)
+    else:
+        mass = np.ones(n_rows, dtype=np.int64)
+        target_tokens = max(1, min(target_tokens, 1_000_000))
     cum = np.cumsum(mass)
     total = int(cum[-1])
     n_parts = max(1, round(total / target_tokens))
@@ -485,12 +488,15 @@ class EncodeWorker:
 
     def encode_one(self, spec: dict) -> dict:
         pid = int(spec["pid"])
-        if mf.is_complete(self.out_dir, pid, self.fp):
-            man = mf.load_manifest(self.out_dir, pid)
-            # .get: a complete manifest from an older metrics layout must
-            # resume, not KeyError the run (the plan fingerprint covers
-            # config, not code version)
-            m = {k: man["metrics"].get(k) for k in _METRIC_KEYS}
+        man = mf.load_if_complete(self.out_dir, pid, self.fp)
+        if man is not None:
+            # .get at BOTH levels: a complete manifest from an older
+            # metrics layout must resume, not KeyError the run (the plan
+            # fingerprint covers config, not code version)
+            metrics = man.get("metrics") or {}
+            m = {k: metrics.get(k) for k in _METRIC_KEYS}
+            m["pid"] = pid  # always known from the spec, even when the
+            # manifest's metrics dict is absent/foreign
             m["resumed"] = True
             return m
         t0 = time.monotonic()
@@ -595,8 +601,13 @@ def encode_dataset(
     else:
         if concurrency is not None:
             # honor the cap on the tasks path too (bounds memory / storage
-            # pressure); without this only compute="actors" respected it
-            kw["concurrency"] = concurrency
+            # pressure); without this only compute="actors" respected it.
+            # Ray rejects a (min, max) tuple for plain-function
+            # map_batches — the tuple form is an actor-pool concept, so
+            # on tasks the upper bound IS the cap
+            kw["concurrency"] = (
+                concurrency[1] if isinstance(concurrency, tuple) else concurrency
+            )
         out = ds.map_batches(
             _encode_specs,
             fn_kwargs={
