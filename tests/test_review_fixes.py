@@ -343,3 +343,143 @@ def test_cli_verify_input_override(ray_session, fixture_parquet, tmp_path, capsy
     assert main(["verify", "--encoded", out, "--input", str(moved)]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["bit_identical"] is True
+
+
+# --------------------- round-5 review: NULL keys in the op family ----
+
+
+def test_asof_join_drops_null_timestamps(ray_session):
+    """SQL ASOF never matches on NULL: a NULL-ts left row must produce
+    no output (previously it silently matched the group's max right
+    ts), and NULL right rows must not crash or match."""
+    import ray.data
+
+    from tokcodec.functions.joins import asof_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "lt": pa.array([100, None, 300], pa.int64()),
+            "tag": pa.array(["a", "b", "c"]),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, None], pa.int64()),
+            "rt": pa.array([50, None, 250], pa.int64()),
+        }
+    )
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "k", "k", "lt", "rt", ["tag"],
+    ).to_pandas().sort_values("tag").reset_index(drop=True)
+    # 'a' matches rt=50; 'b' (null lt) dropped; 'c' matches rt=50 (the
+    # null-rt and null-key rights never participate)
+    assert list(out["tag"]) == ["a", "c"]
+    assert [t.value // 1000 for t in out["asof_ts"]] == [50, 50]  # ns -> us
+
+
+def test_band_join_null_ts_rows_never_crash_or_match(ray_session):
+    import ray.data
+
+    from tokcodec.functions.joins import band_join_count
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "lt": pa.array([100, None], pa.int64()),
+            "tag": pa.array(["a", "b"]),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "rt": pa.array([90, None, 110], pa.int64()),
+        }
+    )
+    for salt in (None, 1000):
+        out = band_join_count(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "k", "k", "lt", "rt", ["tag"], -20, 20, salt_width_us=salt,
+        ).to_pandas()
+        assert list(out["tag"]) == ["a"] and list(out["n"]) == [2]
+
+
+def test_sessionize_rejects_null_user_or_ts(ray_session):
+    import ray.data
+
+    from tokcodec.functions.sessionize import sessionize
+
+    t = pa.table(
+        {
+            "user_id": pa.array(["u", None]),
+            "ts": pa.array([1, 2], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="null"):
+        sessionize(ray.data.from_arrow(t)).materialize()
+
+
+def test_grouped_quantiles_rejects_null_group(ray_session):
+    import ray.data
+
+    from tokcodec.functions.quantile import grouped_quantiles_disc
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", None, "a"]),
+            "v": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    with pytest.raises(Exception, match="null"):
+        grouped_quantiles_disc(ray.data.from_arrow(t), "g", "v", [0.5])
+
+
+def test_group_quota_enforces_null_group_budget(ray_session):
+    """SQL PARTITION BY puts all NULLs in one group: its budget must be
+    enforced too (the pandas-era wave-1 dropped NULL groups, so they
+    kept everything)."""
+    import ray.data
+
+    from tokcodec.functions.sample import group_quota
+
+    t = pa.table(
+        {
+            "group": pa.array(["a"] * 5 + [None] * 40),
+            "mass": pa.array([10] * 5 + [25] * 40, pa.int64()),
+            "doc_id": pa.array([f"d{i}" for i in range(45)]),
+        }
+    )
+    out = group_quota(
+        ray.data.from_arrow(t), "group", "mass", budget=100
+    ).to_pandas()
+    sums = out.groupby(out["group"].fillna("<null>"), dropna=False)["mass"].sum()
+    assert sums.get("a", 0) == 50          # under budget: all kept
+    assert 0 < sums.get("<null>", 0) <= 100  # null group capped
+
+
+def test_approx_quantiles_null_keys_excluded(ray_session):
+    """NULL sample keys all hash identically; they must be excluded
+    per-row like sample_dataset, not enter/leave the sample as a
+    block."""
+    import ray.data
+
+    from tokcodec.functions.quantile import approx_quantiles_disc
+
+    n = 2000
+    t = pa.table(
+        {
+            "doc_id": pa.array(
+                [f"d{i}" if i % 2 else None for i in range(n)]
+            ),
+            "v": pa.array([float(i) for i in range(n)]),
+        }
+    )
+    got = approx_quantiles_disc(
+        ray.data.from_arrow(t), "v", [0.5], rate=0.5
+    )
+    nonnull = t.filter(pa.compute.is_valid(t.column("doc_id")))
+    want = approx_quantiles_disc(
+        ray.data.from_arrow(nonnull), "v", [0.5], rate=0.5
+    )
+    assert got == want  # identical sample: null-key rows contributed 0 rows

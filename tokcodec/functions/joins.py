@@ -27,11 +27,25 @@ from tokcodec.functions.sortagg import group_slices, sorted_group_apply
 def _tag_sides(left, right, left_key, right_key, left_ts, right_ts, left_cols):
     """Project both sides to one (k, t, side, l_<payload>...) schema —
     payload columns carry their LEFT-side Arrow types on both sides (the
-    right side holds typed nulls) — and union them."""
+    right side holds typed nulls) — and union them.
+
+    Rows with a NULL key or NULL timestamp are dropped HERE, on both
+    sides: SQL's comparisons never match on NULL and both joins are
+    inner, so such rows contribute nothing — and letting them through
+    turns into NaN inside the int64 lexsort/searchsorted/bucket math
+    downstream, where a NULL-ts left silently matches the group's max
+    right ts (vs the oracle dropping it) and the salted band bucket
+    arithmetic crashes on negative NaN-cast repeat counts."""
     lsch = left.schema()
     types = dict(zip(lsch.names, lsch.types))
 
     def tag_left(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column(left_key)),
+                pc.is_valid(batch.column(left_ts)),
+            )
+        )
         cols = {
             "k": pc.cast(batch.column(left_key), pa.int64()),
             "t": pc.cast(batch.column(left_ts), pa.int64()),
@@ -42,6 +56,12 @@ def _tag_sides(left, right, left_key, right_key, left_ts, right_ts, left_cols):
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column(right_key)),
+                pc.is_valid(batch.column(right_ts)),
+            )
+        )
         cols = {
             "k": pc.cast(batch.column(right_key), pa.int64()),
             "t": pc.cast(batch.column(right_ts), pa.int64()),

@@ -18,7 +18,12 @@ from fractions import Fraction
 import numpy as np
 import pyarrow as pa
 
-from tokcodec.functions.sample import KEEP_ALL, key_hash_u64, rate_threshold
+from tokcodec.functions.sample import (
+    KEEP_ALL,
+    _mask_valid,
+    key_hash_u64,
+    rate_threshold,
+)
 
 _BINS = 4096
 _MAX_GATHER = 65536
@@ -155,6 +160,16 @@ def grouped_quantiles_disc(ds, group_col: str, column: str, qs: list[float]) -> 
     def _group_values(batch: pa.Table):
         g = batch.column(group_col)
         g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        if g.null_count:
+            # fail fast: a NULL group makes the driver's (group, q)
+            # window sort compare None against real keys (TypeError for
+            # strings) and, for numeric groups, drops out of the
+            # histogram masks entirely (out-of-bounds edge indexing) —
+            # fill or filter the group column upstream
+            raise ValueError(
+                f"grouped_quantiles_disc: {group_col} contains nulls; "
+                "filter or fill upstream"
+            )
         col = batch.column(column)
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         v = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
@@ -209,33 +224,48 @@ def grouped_quantiles_disc(ds, group_col: str, column: str, qs: list[float]) -> 
                 active[(g, q)] = [rank, lo, hi]
 
     def _hist_scan(windows: dict) -> dict:
-        """One shared scan: counts for every (group, q) window."""
+        """One shared scan: counts for every (group, q) window.  Windows
+        identical across a group's q's are histogrammed ONCE and fanned
+        back out — on the first refinement pass every q of a group
+        shares the full (lo, hi) range, so this does G histograms (and
+        ships G count arrays per block) instead of G×Q; later passes
+        dedupe whatever still coincides.  _step never mutates the
+        shared counts array."""
         keys = sorted(windows)  # deterministic order
-        edges_of = {k: np.linspace(windows[k][1], windows[k][2], _BINS + 1) for k in keys}
+        uniq_ids: dict = {}  # (group, lo, hi) -> uid
+        key_uid = [
+            uniq_ids.setdefault((k[0], windows[k][1], windows[k][2]), len(uniq_ids))
+            for k in keys
+        ]
+        uniq = list(uniq_ids)  # in uid order
+        edges_of_uid = [np.linspace(lo, hi, _BINS + 1) for (_g, lo, hi) in uniq]
 
         def hist_partial(batch: pa.Table) -> pa.Table:
             g, v = _group_values(batch)
             garr = g.to_numpy(zero_copy_only=False)  # native-typed compare
-            masks: dict = {}  # group -> mask, shared across its q keys
+            masks: dict = {}  # group -> mask, shared across its windows
             out_k, out_c = [], []
-            for ki, k in enumerate(keys):
-                e = edges_of[k]
-                m = masks.get(k[0])
+            for uid, (grp, _lo, _hi) in enumerate(uniq):
+                e = edges_of_uid[uid]
+                m = masks.get(grp)
                 if m is None:
-                    m = masks[k[0]] = garr == k[0]
+                    m = masks[grp] = garr == grp
                 vals = v[m]
                 vals = vals[(vals >= e[0]) & (vals <= e[-1])]
                 counts, _ = np.histogram(vals, bins=e)
-                out_k.append(ki)
+                out_k.append(uid)
                 out_c.append(counts.tobytes())
             return pa.table(
                 {"k": pa.array(out_k, pa.int64()), "c": pa.array(out_c, pa.binary())}
             )
 
-        totals = {k: np.zeros(_BINS, dtype=np.int64) for k in keys}
+        totals = [np.zeros(_BINS, dtype=np.int64) for _ in uniq]
         for r in ds.map_batches(hist_partial, batch_format="pyarrow").take_all():
-            totals[keys[r["k"]]] += np.frombuffer(r["c"], dtype=np.int64)
-        return {k: (totals[k], edges_of[k]) for k in keys}
+            totals[r["k"]] += np.frombuffer(r["c"], dtype=np.int64)
+        return {
+            k: (totals[key_uid[i]], edges_of_uid[key_uid[i]])
+            for i, k in enumerate(keys)
+        }
 
     def _gather_scan(windows: dict) -> dict:
         """One shared scan gathering every finished window's candidates."""
@@ -329,7 +359,13 @@ def approx_quantiles_disc(
             sub = batch
         else:
             u = key_hash_u64(batch.column(key_col), method)
-            sub = batch.filter(pa.array(u < thr))
+            # same null-key rule as sample_dataset (whose semantics this
+            # docstring promises): NULL keys all hash identically, so
+            # without the mask they'd enter or leave the sample as one
+            # block, skewing the estimate for that subpopulation
+            sub = batch.filter(
+                pa.array(_mask_valid(u < thr, batch.column(key_col)))
+            )
         return pa.table({"v": pa.array(_col_values(sub, column), pa.float64())})
 
     rows = ds.map_batches(keep, batch_format="pyarrow").take_all()

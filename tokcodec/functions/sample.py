@@ -174,9 +174,10 @@ def _group_lut(groups: pa.Array | pa.ChunkedArray, table: dict, default):
     vals = [table.get(v, default) for v in enc.dictionary.to_pylist()]
     # NULL group values have null dictionary indices (NaN -> INT64_MIN
     # under a raw asarray cast, which the gather then IndexErrors on);
-    # treat them as a group absent from the table, like SQL would
+    # route them through the dict under key None — SQL partitions NULLs
+    # together as one group, so a None entry in `table` applies to them
     codes = np.asarray(enc.indices.fill_null(len(vals)), dtype=np.int64)
-    return np.asarray(vals + [default])[codes]
+    return np.asarray(vals + [table.get(None, default)])[codes]
 
 
 def group_quota(
@@ -210,22 +211,25 @@ def group_quota(
 
     ann = ds.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True)
 
-    # wave 1: per-batch partial sums -> tiny groupby -> driver
+    # wave 1: per-batch partial sums -> tiny groupby -> driver.  Native
+    # Arrow group_by, which KEEPS a null group — the previous pandas
+    # detour's default dropna=True silently dropped NULL-group rows
+    # from the mass table, so their budget was never enforced (SQL's
+    # PARTITION BY puts all NULLs in one group and caps them too)
     def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame(
-            {
-                "g": t.column(group_col).to_pandas(),
-                "b": t.column("_bucket").to_numpy(zero_copy_only=False),
-                "m": pc.cast(t.column(mass_col), pa.int64()).to_numpy(
-                    zero_copy_only=False
-                ),
-            }
+        agg = (
+            pa.table(
+                {
+                    "g": t.column(group_col),
+                    "b": t.column("_bucket"),
+                    "m": pc.cast(t.column(mass_col), pa.int64()),
+                }
+            )
+            .group_by(["g", "b"])
+            .aggregate([("m", "sum")])
         )
-        agg = df.groupby(["g", "b"], sort=False, observed=True)["m"].sum().reset_index()
         return pa.table(
-            {"g": pa.array(agg["g"]), "b": pa.array(agg["b"]), "m": pa.array(agg["m"])}
+            {"g": agg.column("g"), "b": agg.column("b"), "m": agg.column("m_sum")}
         )
 
     rows = (

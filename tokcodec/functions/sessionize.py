@@ -61,6 +61,15 @@ def _block_sessions(batch: pa.Table, user_col: str, ts_col: str, gap_us: int) ->
     n = batch.num_rows
     if n == 0:
         return schema.empty_table()
+    if ucol.null_count or batch.column(ts_col).null_count:
+        # fail fast: a NULL user would make the driver stitch's block-tag
+        # sort compare None against real ids (TypeError), and a NULL ts
+        # turns into an undefined int64 that silently corrupts the gap
+        # computation — there is no meaningful session for either
+        raise ValueError(
+            f"sessionize: {user_col}/{ts_col} contain nulls; filter or "
+            "fill upstream"
+        )
     u = ucol.to_numpy(zero_copy_only=False)
     ts = _ts_i64(batch.column(ts_col))
 
